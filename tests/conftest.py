@@ -1,0 +1,15 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh with float64 enabled so that the
+# reference verification tolerances (1e-8 on derivative L2 norms,
+# tests/verification/test_omp_tridiag.f90:40) are meaningful. TPU runs use
+# float32/bfloat16 compute; the numerics are dtype-parametric.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
