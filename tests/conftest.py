@@ -4,7 +4,10 @@ import os
 # reference verification tolerances (1e-8 on derivative L2 norms,
 # tests/verification/test_omp_tridiag.f90:40) are meaningful. TPU runs use
 # float32/bfloat16 compute; the numerics are dtype-parametric.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# Note: this environment's axon sitecustomize force-registers the TPU
+# backend regardless of JAX_PLATFORMS, so we select the (8-device virtual)
+# CPU backend via jax_default_device instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,3 +16,8 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices():
+    return jax.devices("cpu")

@@ -1,0 +1,199 @@
+"""Case lifecycle and the time loop.
+
+Equivalent of the reference's base_case layer (src/case/base_case.f90):
+per-iteration substage loop {define_BC -> transeq -> forcings -> time step
+-> apply_BC -> IBM -> pressure_correction} (base_case.f90:261-300), with
+monitoring/IO hooks. The whole time step (all RK substages, or the AB
+update with history) compiles into ONE jitted XLA program with donated
+state, so fields never leave HBM between steps.
+
+Case hooks (initial_conditions / forcings / apply_bc / body) must be pure
+traceable functions of the state; concrete cases override them.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import BC
+from ..mesh import Mesh
+from ..solver import NavierStokes
+from ..time_integrators import TimeIntegrator
+from ..io.monitoring import Monitor
+
+
+@dataclass
+class SolverParams:
+    """Mirror of &solver_params (reference config.f90:33-44)."""
+
+    Re: float = 1600.0
+    time_intg: str = "AB3"
+    dt: float = 1e-3
+    n_iters: int = 1000
+    n_output: int = 100
+    poisson_solver_type: str = "FFT"
+    der1st_scheme: str = "compact6"
+    der2nd_scheme: str = "compact6"
+    interpl_scheme: str = "classic"
+    stagder_scheme: str = "compact6"
+    n_species: int = 0
+    pr_species: tuple = ()
+    c_nu: float = 0.44
+    nu0_nu: float = 4.0
+    lowmem_transeq: bool = False  # accepted for config parity; the jitted
+    lowmem_fft: bool = False      # step has a single memory plan under XLA
+    ibm_on: bool = False
+
+
+class BaseCase:
+    """Owns solver + integrator + jitted step; concrete cases subclass."""
+
+    name = "generic"
+
+    def __init__(self, mesh: Mesh, params: SolverParams, dtype=jnp.float32,
+                 monitor_path: str | None = "monitoring.csv", verbose=True):
+        self.mesh = mesh
+        self.params = params
+        self.dtype = dtype
+        schemes = dict(
+            der1st_scheme=params.der1st_scheme,
+            der2nd_scheme=params.der2nd_scheme,
+            interpl_scheme=params.interpl_scheme,
+            stagder_scheme=params.stagder_scheme,
+            c_nu=params.c_nu, nu0_nu=params.nu0_nu,
+        )
+        nu = 1.0 / params.Re
+        nu_species = tuple(nu / pr for pr in params.pr_species)
+        self.solver = NavierStokes.build(mesh, nu, dtype=dtype,
+                                         schemes=schemes,
+                                         nu_species=nu_species)
+        self.ti = TimeIntegrator(params.time_intg)
+        self.dt = params.dt
+        self.monitor = Monitor(self.solver, path=monitor_path,
+                               verbose=verbose)
+        self._step = jax.jit(self.step_fn, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    # hooks (overridden by concrete cases)
+    # ------------------------------------------------------------------
+    def initial_conditions(self):
+        """Return dict of initial fields {'u','v','w'[, 'phi']}."""
+        raise NotImplementedError
+
+    def forcings(self, rhs, fields, istep):
+        """Modify RHS tuple (base_case forcings hook)."""
+        return rhs
+
+    def apply_bc(self, fields, gdt, istep):
+        """Face-plane BC enforcement after the time update."""
+        return fields
+
+    def body(self, fields):
+        """IBM or similar pre-projection modification (ibm.f90:148-170)."""
+        return fields
+
+    def postprocess(self, istep, t, state):
+        self.monitor.write_step(t, state["u"], state["v"], state["w"])
+
+    # ------------------------------------------------------------------
+    def initial_state(self):
+        fields = self.initial_conditions()
+        u = jnp.asarray(fields["u"], self.dtype)
+        v = jnp.asarray(fields["v"], self.dtype)
+        w = jnp.asarray(fields["w"], self.dtype)
+        state = {
+            "u": u, "v": v, "w": w,
+            "istep": jnp.asarray(1, jnp.int32),
+        }
+        nsp = self.params.n_species
+        if nsp:
+            state["phi"] = jnp.asarray(fields["phi"], self.dtype)
+        if self.ti.nolds:
+            tmpl = (u, v, w)
+            if nsp:
+                tmpl = tmpl + (state["phi"],)
+            state["olds"] = self.ti.empty_olds(tmpl)
+        return state
+
+    def _rhs(self, fields, istep):
+        u, v, w = fields[:3]
+        rhs = self.solver.transeq(u, v, w)
+        if self.params.n_species:
+            phi = fields[3]
+            drhs = []
+            for i in range(self.params.n_species):
+                drhs.append(self.solver.transeq_species(
+                    phi[i], u, v, w, self.solver.nu_species[i]))
+            rhs = rhs + (jnp.stack(drhs),)
+        return self.forcings(rhs, fields, istep)
+
+    def _substage_post(self, fields, gdt, istep):
+        """apply_BC -> IBM -> pressure_correction, one substage tail."""
+        fields = self.apply_bc(fields, gdt, istep)
+        fields = self.body(fields)
+        u, v, w, p = self.solver.pressure_correction(*fields[:3])
+        return (u, v, w) + tuple(fields[3:]), p
+
+    def step_fn(self, state):
+        """One full time step (all substages) - jit-compiled once."""
+        nsp = self.params.n_species
+        fields = (state["u"], state["v"], state["w"])
+        if nsp:
+            fields = fields + (state["phi"],)
+        istep = state["istep"]
+        dt = self.dt
+
+        if self.ti.kind == "AB":
+            rhs = self._rhs(fields, istep)
+            fields, olds = self.ti.ab_step(fields, state["olds"], istep,
+                                           rhs, dt)
+            fields, p = self._substage_post(fields, self.ti.gdt(dt, 0), istep)
+            new = {"olds": olds}
+        else:  # RK
+            fields0 = fields
+            ks = []
+            for istage in range(self.ti.nstage):
+                rhs = self._rhs(fields, istep)
+                ks.append(rhs)
+                fields = self.ti.rk_substage(fields0, ks, istage, dt)
+                fields, p = self._substage_post(
+                    fields, self.ti.gdt(dt, istage), istep)
+            new = {}
+            if "olds" in state:
+                new["olds"] = state["olds"]
+
+        new.update({"u": fields[0], "v": fields[1], "w": fields[2],
+                    "istep": istep + 1})
+        if nsp:
+            new["phi"] = fields[3]
+        return new
+
+    # ------------------------------------------------------------------
+    def run(self, n_iters: Optional[int] = None, state=None,
+            n_output: Optional[int] = None):
+        """Time loop (reference base_case run, base_case.f90:181-353)."""
+        n_iters = n_iters or self.params.n_iters
+        n_output = n_output or self.params.n_output
+        if state is None:
+            state = self.initial_state()
+            self.postprocess(0, 0.0, state)
+        t0 = _time.perf_counter()
+        start = int(state["istep"])
+        for it in range(start, start + n_iters):
+            state = self._step(state)
+            if it % n_output == 0:
+                t = it * self.dt
+                self.postprocess(it, t, state)
+        jax.block_until_ready(state["u"])
+        elapsed = _time.perf_counter() - t0
+        if self.monitor.verbose:
+            print(f"Total time {elapsed:.3f}s for {n_iters} iters "
+                  f"({elapsed / n_iters * 1e3:.2f} ms/step)")
+        return state

@@ -1,0 +1,123 @@
+"""Explicit time integrators: Adams-Bashforth 1-4 and Runge-Kutta 1-4.
+
+Functional port of the reference src/time_integrator.f90 (coefficients
+:83-118). The AB derivative history is carried as a stacked array in the
+step state (donated through jit) rather than rotated pointer blocks; RK
+stages are unrolled statically inside the jitted step, with the
+per-substage projection handled by the caller (cases/base.py run loop,
+mirroring base_case.f90:261-300).
+
+AB startup (istep < order) selects lower-order coefficients via a traced
+table lookup so a single compiled step covers startup and steady phases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# AB coefficients (time_integrator.f90:108-118); row k = AB(k+1)
+AB_COEFFS = np.array([
+    [1.0, 0.0, 0.0, 0.0],
+    [1.5, -0.5, 0.0, 0.0],
+    [23.0 / 12, -4.0 / 3, 5.0 / 12, 0.0],
+    [55.0 / 24, -59.0 / 24, 37.0 / 24, -3.0 / 8],
+])
+
+# RK stage tables (time_integrator.f90:83-106); rk_a[order][stage][j]
+RK_A = {
+    1: np.zeros((0, 3)),
+    2: np.array([[0.5, 0.0, 0.0]]),
+    3: np.array([[0.5, 0.0, 0.0],
+                 [0.0, 0.75, 0.0]]),
+    4: np.array([[0.5, 0.0, 0.0],
+                 [0.0, 0.5, 0.0],
+                 [0.0, 0.0, 1.0]]),
+}
+RK_B = {
+    1: np.array([1.0]),
+    2: np.array([0.0, 1.0]),
+    3: np.array([2.0 / 9, 1.0 / 3, 4.0 / 9]),
+    4: np.array([1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6]),
+}
+
+
+@dataclass(frozen=True)
+class TimeIntegrator:
+    """Scheme descriptor parsed from names like 'AB3' / 'RK3'."""
+
+    name: str
+
+    def __post_init__(self):
+        kind, order = self.name[:2].upper(), int(self.name[2])
+        if kind not in ("AB", "RK") or not 1 <= order <= 4:
+            raise ValueError(f"unsupported time integrator {self.name!r}")
+        object.__setattr__(self, "kind", kind)
+        object.__setattr__(self, "order", order)
+
+    @property
+    def nstage(self) -> int:
+        return self.order if self.kind == "RK" else 1
+
+    @property
+    def nolds(self) -> int:
+        # AB(k) carries k-1 old derivatives; RK carries none across steps
+        return self.order - 1 if self.kind == "AB" else 0
+
+    def gdt(self, dt: float, istage: int) -> float:
+        """Effective sub-timestep for BC ramping (time_integrator.f90:166-182)."""
+        if self.kind == "AB":
+            return dt
+        return float(RK_B[self.order][istage]) * dt
+
+    # ------------------------------------------------------------------
+    def ab_step(self, fields, olds, istep, rhs, dt):
+        """One AB step. `fields`/`rhs` are pytrees (tuples of arrays);
+        `olds` is a pytree of stacked (nolds, ...) arrays; istep is a
+        traced int32 (1-based). Returns (new_fields, new_olds)."""
+        order = self.order
+        nstep = jnp.minimum(istep, order)
+        # coefficient row for the current (possibly startup) order
+        coeffs = jnp.asarray(AB_COEFFS, dtype=jnp.float64)[nstep - 1]
+        coeffs = coeffs.astype(jax.tree_util.tree_leaves(fields)[0].dtype)
+
+        def upd(f, r, o):
+            acc = f + dt * coeffs[0] * r
+            for j in range(order - 1):
+                acc = acc + dt * coeffs[j + 1] * o[j]
+            return acc
+
+        def rot(r, o):
+            if self.nolds == 0:
+                return o
+            return jnp.concatenate([r[None], o[:-1]], axis=0)
+
+        new_fields = jax.tree_util.tree_map(upd, fields, rhs, olds)
+        new_olds = jax.tree_util.tree_map(rot, rhs, olds)
+        return new_fields, new_olds
+
+    def rk_substage(self, fields0, ks, istage, dt):
+        """Stage update for RK: given the step-initial fields and the list
+        of stage derivatives computed so far, produce the fields for the
+        next stage evaluation (istage < nstage) or the final step result
+        (istage == nstage-1). Mirrors time_integrator.f90:166-231."""
+        order = self.order
+        last = istage == order - 1
+        tab = RK_B[order] if last else RK_A[order][istage]
+
+        def upd(f0, *kjs):
+            acc = f0
+            for c, k in zip(tab, kjs):
+                if c != 0.0:
+                    acc = acc + dt * float(c) * k
+            return acc
+
+        return jax.tree_util.tree_map(upd, fields0, *ks)
+
+    def empty_olds(self, template):
+        """Zero-initialised history stack matching a fields pytree."""
+        return jax.tree_util.tree_map(
+            lambda f: jnp.zeros((self.nolds,) + f.shape, f.dtype), template)
