@@ -81,8 +81,8 @@ class TimeIntegrator:
         order = self.order
         nstep = jnp.minimum(istep, order)
         # coefficient row for the current (possibly startup) order
-        coeffs = jnp.asarray(AB_COEFFS, dtype=jnp.float64)[nstep - 1]
-        coeffs = coeffs.astype(jax.tree_util.tree_leaves(fields)[0].dtype)
+        dtype = jax.tree_util.tree_leaves(fields)[0].dtype
+        coeffs = jnp.asarray(AB_COEFFS.astype(np.float64), dtype=dtype)[nstep - 1]
 
         def upd(f, r, o):
             acc = f + dt * coeffs[0] * r
