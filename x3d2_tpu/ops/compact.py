@@ -33,18 +33,42 @@ import numpy as np
 from ..common import BC
 from . import schemes
 
-# Einsum subscripts for contraction along each axis of a 3-D field.
+# Einsum subscripts for contraction along each axis of a 3-D field
+# (and of a stacked (batch, x, y, z) field).
 _EINSUM = (
     "ai,iyz->ayz",
     "ai,xiz->xaz",
     "ai,xyi->xya",
 )
+_EINSUM4 = (
+    "ai,siyz->sayz",
+    "ai,sxiz->sxaz",
+    "ai,sxyi->sxya",
+)
+
+# MXU precision for f32 operator applications. HIGH (bf16x3 passes) gives
+# ~1e-7 relative error per apply -- well inside the KE-parity budget -- at
+# ~2x the throughput of HIGHEST (bf16x6). Ignored for f64 (CPU tests).
+import os as _os
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+PRECISION = _PRECISIONS[_os.environ.get("X3D2_MATMUL_PRECISION", "high")]
 
 
 def apply_matrix(M: jax.Array, f: jax.Array, axis: int,
-                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
-    """Contract operator matrix M (n_out, n_in) with `f` along `axis`."""
-    return jnp.einsum(_EINSUM[axis], M, f, precision=precision)
+                 precision=None) -> jax.Array:
+    """Contract operator matrix M (n_out, n_in) with `f` along `axis`.
+
+    `f` may be (nx, ny, nz) or batched (s, nx, ny, nz); `axis` always
+    refers to the spatial axes.
+    """
+    precision = precision or PRECISION
+    sub = _EINSUM4[axis] if f.ndim == 4 else _EINSUM[axis]
+    return jnp.einsum(sub, M, f, precision=precision)
 
 
 @dataclass(frozen=True)

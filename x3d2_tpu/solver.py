@@ -26,7 +26,7 @@ import numpy as np
 
 from .common import BC, DataLoc
 from .mesh import Mesh
-from .ops.compact import CompactOp
+from .ops.compact import CompactOp, apply_matrix
 from .ops.dirops import AxisOps
 from .ops.fft_poisson import SpectralPoisson
 
@@ -79,23 +79,41 @@ class NavierStokes:
         solver.f90:291-389). Operator pairing per direction follows
         transeq_omp_dist (omp/backend.f90:235-262): the direction-aligned
         component uses (der1st, der1st_sym, der2nd); transverse components
-        use (der1st_sym, der1st, der2nd_sym)."""
+        use (der1st_sym, der1st, der2nd_sym).
+
+        TPU notes: the 6 unique symmetric products u_i*u_j are computed
+        once (the reference recomputes them per sweep); each operator
+        application is a separate einsum -- measured faster on v5e than
+        batching fields into stacked matmuls, whose materialised stacks
+        cost more HBM traffic than the MXU efficiency gained."""
         comps = (u, v, w)
+        prods = {}
+
+        def prod(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in prods:
+                prods[key] = comps[key[0]] * comps[key[1]]
+            return prods[key]
+
         rhs = [0.0, 0.0, 0.0]
         for axis in range(3):
             o = self.ops[axis]
             conv = comps[axis]
-            for ic in range(3):
-                q = comps[ic]
-                if ic == axis:
-                    term = self._transeq_component(
-                        q, conv, axis, o.der1st, o.der1st_sym, o.der2nd,
-                        self.nu)
+            corr = o.der2nd.stretch_correct
+            has_corr = corr is not None and np.any(corr)
+            cb = _bcast(corr, axis, self.dtype) if has_corr else None
+            for c in range(3):
+                q = comps[c]
+                if c == axis:
+                    op_du, op_dud, op_d2u = o.der1st, o.der1st_sym, o.der2nd
                 else:
-                    term = self._transeq_component(
-                        q, conv, axis, o.der1st_sym, o.der1st, o.der2nd_sym,
-                        self.nu)
-                rhs[ic] = rhs[ic] + term
+                    op_du, op_dud, op_d2u = o.der1st_sym, o.der1st, o.der2nd_sym
+                dq = op_du(q, axis)
+                dqd = op_dud(prod(c, axis), axis)
+                d2q = op_d2u(q, axis)
+                if has_corr:
+                    d2q = d2q + dq * cb
+                rhs[c] = rhs[c] - 0.5 * (conv * dq + dqd) + self.nu * d2q
         return tuple(rhs)
 
     def transeq_species(self, phi, u, v, w, nu_s):
