@@ -1,0 +1,65 @@
+"""Checkpoint/restart fidelity: bit-exact AB-history restart.
+
+Mirrors the reference's tests/unit/test_ab_checkpoint.f90: run AB3 for a
+few steps, checkpoint, restart into a SECOND case instance, continue both,
+and compare to 1e-15."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from x3d2_tpu.common import BC
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.cases import SolverParams, TGVCase
+from x3d2_tpu.config import CheckpointConfig, StatsConfig
+from x3d2_tpu.io.manager import IOManager
+
+
+def make_case(tmp, time_intg="AB3"):
+    mesh = Mesh((16, 16, 16), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg=time_intg, dt=1e-3)
+    return TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+
+
+def test_ab_checkpoint_bit_exact_restart(tmp_path):
+    prefix = str(tmp_path / "ckpt")
+    ck = CheckpointConfig(checkpoint_freq=5, checkpoint_prefix=prefix,
+                          keep_checkpoint=True)
+
+    # Reference run: 10 uninterrupted steps
+    case_a = make_case(tmp_path)
+    io_a = IOManager(case_a, ck, StatsConfig())
+    state_a = case_a.run(n_iters=10, state=case_a.initial_state(),
+                         n_output=10**9, io_manager=io_a)
+
+    # Restart run: fresh case restores the step-5 checkpoint, runs 5 more
+    case_b = make_case(tmp_path)
+    ck2 = CheckpointConfig(restart_from_checkpoint=True,
+                           restart_file=f"{prefix}_000005.npz",
+                           checkpoint_prefix=prefix)
+    io_b = IOManager(case_b, ck2, StatsConfig())
+    state_b = io_b.handle_restart(case_b.initial_state())
+    assert int(state_b["istep"]) == 6
+    state_b = case_b.run(n_iters=5, state=state_b, n_output=10**9)
+
+    for k in ("u", "v", "w"):
+        d = np.max(np.abs(np.asarray(state_a[k]) - np.asarray(state_b[k])))
+        assert d < 1e-15, (k, d)
+    for oa, ob in zip(state_a["olds"], state_b["olds"]):
+        assert np.max(np.abs(np.asarray(oa) - np.asarray(ob))) < 1e-15
+
+
+def test_checkpoint_cleanup_and_latest(tmp_path):
+    prefix = str(tmp_path / "c")
+    ck = CheckpointConfig(checkpoint_freq=2, checkpoint_prefix=prefix,
+                          keep_checkpoint=False)
+    case = make_case(tmp_path)
+    io = IOManager(case, ck, StatsConfig())
+    case.run(n_iters=6, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+    import glob
+    files = glob.glob(f"{prefix}_*.npz")
+    assert len(files) == 1  # only latest kept
+    assert files[0].endswith("_000006.npz")

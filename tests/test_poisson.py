@@ -41,22 +41,31 @@ def test_poisson_000_analytic():
     assert np.max(np.abs(p - pr)) < 1e-4
 
 
-@pytest.mark.parametrize("bcs_y", [BC.PERIODIC, BC.NEUMANN, BC.DIRICHLET])
-def test_poisson_roundtrip_div_grad(bcs_y):
+@pytest.mark.parametrize("bcs_x,bcs_y", [
+    (BC.PERIODIC, BC.PERIODIC),    # 000
+    (BC.PERIODIC, BC.NEUMANN),     # 010
+    (BC.PERIODIC, BC.DIRICHLET),   # 010 (midpoint ops forced to Neumann)
+    (BC.NEUMANN, BC.PERIODIC),     # 100
+    (BC.DIRICHLET, BC.PERIODIC),   # 100
+    (BC.NEUMANN, BC.NEUMANN),      # 110
+    (BC.DIRICHLET, BC.DIRICHLET),  # 110
+])
+def test_poisson_roundtrip_div_grad(bcs_x, bcs_y):
     """div(grad(p)) after the solve must reproduce the input divergence
-    field to near machine precision (exact spectral equivalence)."""
+    field to near machine precision (exact spectral equivalence). Covers
+    the reference's test_poisson_bc BC matrix (000/010/100/110)."""
     n = 32
-    bcs = ((BC.PERIODIC, BC.PERIODIC),
-           (bcs_y, bcs_y),
+    bcs = ((bcs_x, bcs_x), (bcs_y, bcs_y),
            (BC.PERIODIC, BC.PERIODIC))
-    nv = (n, n if bcs_y == BC.PERIODIC else n + 1, n)
+    nv = (n if bcs_x == BC.PERIODIC else n + 1,
+          n if bcs_y == BC.PERIODIC else n + 1, n)
     L = (2 * np.pi,) * 3
     mesh, ns = make_solver(nv, bcs, L)
     X, Y, Z = cell_grids(mesh)
-    Ly = mesh.L[1]
+    Lx, Ly = mesh.L[0], mesh.L[1]
     # RHS built from cosines compatible with Neumann pressure BCs
-    f = (np.cos(X) * np.cos(2 * np.pi * Y / Ly) * np.cos(Z)
-         + 0.3 * np.cos(2 * X) * np.cos(4 * np.pi * Y / Ly))
+    f = (np.cos(2 * np.pi * X / Lx) * np.cos(2 * np.pi * Y / Ly) * np.cos(Z)
+         + 0.3 * np.cos(4 * np.pi * X / Lx) * np.cos(4 * np.pi * Y / Ly))
     f = f - f.mean()
     p = ns.poisson(jnp.asarray(f))
     # laplacian on the pressure (cell) grid via staggered grad then div

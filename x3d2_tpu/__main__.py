@@ -1,0 +1,73 @@
+"""CLI entry point: ``python -m x3d2_tpu <input.x3d>``.
+
+Equivalent of the reference main program (src/xcompact.f90:48-133): parse
+the namelist input, build mesh + solver + case via the flow_case factory,
+run the time loop. The reference's MPI/GPU-device setup is replaced by
+jax device-mesh selection (--mesh Y Z shards over devices)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def make_case(cfg, dtype, seed=0, verbose=True, monitor_path="monitoring.csv"):
+    """Case factory (xcompact.f90:111-126)."""
+    from .mesh import Mesh
+    from .cases import ChannelCase, CylinderCase, GenericCase, TGVCase
+
+    mesh = Mesh.from_config(cfg.domain)
+    name = cfg.domain.flow_case_name.lower()
+    table = {"tgv": (TGVCase, None),
+             "channel": (ChannelCase, cfg.channel),
+             "cylinder": (CylinderCase, cfg.cylinder),
+             "generic": (GenericCase, None)}
+    if name not in table:
+        raise SystemExit(f"flow_case_name '{name}' is undefined")
+    cls, case_cfg = table[name]
+    return cls(mesh, cfg.solver, dtype=dtype, seed=seed, verbose=verbose,
+               monitor_path=monitor_path, case_cfg=case_cfg)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="x3d2_tpu")
+    parser.add_argument("input", help="namelist input file (.x3d)")
+    parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--mesh", type=int, nargs=2, metavar=("NY", "NZ"),
+                        help="shard over an NYxNZ device mesh")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from .config import Config
+
+    cfg = Config.from_file(args.input)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    case = make_case(cfg, dtype, seed=args.seed)
+    print(f"Flow case: {case.name}; grid {cfg.domain.dims_global}; "
+          f"{cfg.solver.time_intg}, dt={cfg.solver.dt}, "
+          f"Re={cfg.solver.Re}, {len(jax.devices())} device(s)")
+
+    from .io.manager import IOManager
+    io_mgr = IOManager(case, cfg.checkpoint, cfg.stats)
+
+    if args.mesh:
+        from .parallel import make_device_mesh, make_sharded_step
+        dmesh = make_device_mesh(args.mesh[0], args.mesh[1])
+        step, state = make_sharded_step(case, dmesh)
+        case._step = step
+        state = io_mgr.handle_restart(state)
+        case.run(state=state, io_manager=io_mgr)
+    else:
+        state = io_mgr.handle_restart(case.initial_state())
+        case.run(state=state, io_manager=io_mgr)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,10 +58,13 @@ class BaseCase:
     name = "generic"
 
     def __init__(self, mesh: Mesh, params: SolverParams, dtype=jnp.float32,
-                 monitor_path: str | None = "monitoring.csv", verbose=True):
+                 monitor_path: str | None = "monitoring.csv", verbose=True,
+                 seed: int = 0, case_cfg=None):
         self.mesh = mesh
         self.params = params
         self.dtype = dtype
+        self.seed = seed
+        self.case_cfg = case_cfg
         schemes = dict(
             der1st_scheme=params.der1st_scheme,
             der2nd_scheme=params.der2nd_scheme,
@@ -87,11 +90,18 @@ class BaseCase:
         """Return dict of initial fields {'u','v','w'[, 'phi']}."""
         raise NotImplementedError
 
+    def define_bc(self, fields, key, istep):
+        """Per-substage pre-transeq hook (reference define_BC,
+        base_case.f90:263): may modify fields (e.g. channel bulk-flow
+        correction) and returns (fields, bc_data) where bc_data carries
+        face-plane values/parameters consumed by apply_bc."""
+        return fields, None
+
     def forcings(self, rhs, fields, istep):
         """Modify RHS tuple (base_case forcings hook)."""
         return rhs
 
-    def apply_bc(self, fields, gdt, istep):
+    def apply_bc(self, fields, bc_data, gdt, istep):
         """Face-plane BC enforcement after the time update."""
         return fields
 
@@ -108,9 +118,12 @@ class BaseCase:
         u = jnp.asarray(fields["u"], self.dtype)
         v = jnp.asarray(fields["v"], self.dtype)
         w = jnp.asarray(fields["w"], self.dtype)
+        from ..common import DataLoc
         state = {
             "u": u, "v": v, "w": w,
+            "p": jnp.zeros(self.mesh.dims(DataLoc.CELL), self.dtype),
             "istep": jnp.asarray(1, jnp.int32),
+            "key": jax.random.PRNGKey(self.seed),
         }
         nsp = self.params.n_species
         if nsp:
@@ -134,51 +147,65 @@ class BaseCase:
             rhs = rhs + (jnp.stack(drhs),)
         return self.forcings(rhs, fields, istep)
 
-    def _substage_post(self, fields, gdt, istep):
+    def _substage_post(self, fields, bc_data, gdt, istep):
         """apply_BC -> IBM -> pressure_correction, one substage tail."""
-        fields = self.apply_bc(fields, gdt, istep)
+        fields = self.apply_bc(fields, bc_data, gdt, istep)
         fields = self.body(fields)
         u, v, w, p = self.solver.pressure_correction(*fields[:3])
         return (u, v, w) + tuple(fields[3:]), p
 
     def step_fn(self, state):
-        """One full time step (all substages) - jit-compiled once."""
+        """One full time step (all substages) - jit-compiled once.
+        Substage sequence mirrors base_case.f90:261-300:
+        define_BC -> transeq -> forcings -> time update -> apply_BC ->
+        IBM body -> pressure_correction."""
         nsp = self.params.n_species
         fields = (state["u"], state["v"], state["w"])
         if nsp:
             fields = fields + (state["phi"],)
         istep = state["istep"]
+        key = state["key"]
         dt = self.dt
 
         if self.ti.kind == "AB":
+            key, sub = jax.random.split(key)
+            fields, bc_data = self.define_bc(fields, sub, istep)
             rhs = self._rhs(fields, istep)
             fields, olds = self.ti.ab_step(fields, state["olds"], istep,
                                            rhs, dt)
-            fields, p = self._substage_post(fields, self.ti.gdt(dt, 0), istep)
+            fields, p = self._substage_post(fields, bc_data,
+                                            self.ti.gdt(dt, 0), istep)
             new = {"olds": olds}
         else:  # RK
-            fields0 = fields
+            fields0 = None
             ks = []
             for istage in range(self.ti.nstage):
+                key, sub = jax.random.split(key)
+                fields, bc_data = self.define_bc(fields, sub, istep)
+                if istage == 0:
+                    # step-initial condition saved AFTER define_BC mutations
+                    # (reference saves olds(1) at istage 1 post-define_BC)
+                    fields0 = fields
                 rhs = self._rhs(fields, istep)
                 ks.append(rhs)
                 fields = self.ti.rk_substage(fields0, ks, istage, dt)
                 fields, p = self._substage_post(
-                    fields, self.ti.gdt(dt, istage), istep)
+                    fields, bc_data, self.ti.gdt(dt, istage), istep)
             new = {}
             if "olds" in state:
                 new["olds"] = state["olds"]
 
         new.update({"u": fields[0], "v": fields[1], "w": fields[2],
-                    "istep": istep + 1})
+                    "p": p, "istep": istep + 1, "key": key})
         if nsp:
             new["phi"] = fields[3]
         return new
 
     # ------------------------------------------------------------------
     def run(self, n_iters: Optional[int] = None, state=None,
-            n_output: Optional[int] = None):
-        """Time loop (reference base_case run, base_case.f90:181-353)."""
+            n_output: Optional[int] = None, io_manager=None):
+        """Time loop (reference base_case run, base_case.f90:181-353):
+        step -> stats accumulation -> monitoring -> checkpoint/snapshot."""
         n_iters = n_iters or self.params.n_iters
         n_output = n_output or self.params.n_output
         if state is None:
@@ -188,11 +215,18 @@ class BaseCase:
         start = int(state["istep"])
         for it in range(start, start + n_iters):
             state = self._step(state)
+            t = it * self.dt
+            if io_manager is not None:
+                io_manager.update_stats(state, it)
             if it % n_output == 0:
-                t = it * self.dt
                 self.postprocess(it, t, state)
+            if io_manager is not None:
+                io_manager.handle_io_step(state, it, t)
         jax.block_until_ready(state["u"])
         elapsed = _time.perf_counter() - t0
+        if io_manager is not None:
+            io_manager.finalise(state, start + n_iters - 1,
+                                (start + n_iters - 1) * self.dt)
         if self.monitor.verbose:
             print(f"Total time {elapsed:.3f}s for {n_iters} iters "
                   f"({elapsed / n_iters * 1e3:.2f} ms/step)")

@@ -1,0 +1,105 @@
+"""Checkpoint/restart manager.
+
+Functional parity with reference src/io/checkpoint_manager.f90:
+  - contents: u, v, w (+species), timestep/time/dt/data_loc, the AB
+    derivative history, running statistics, and case-registered extra
+    state (checkpoint_manager.f90:150-330)
+  - atomic write via temp file + rename (:296-310)
+  - old-checkpoint cleanup when keep_checkpoint is false
+  - restart restores fields, AB history, stats, and resumes at
+    current_iter+1 (:346-501; bit-exactness tested like
+    tests/unit/test_ab_checkpoint.f90)
+
+Storage: a single .npz per checkpoint holding logically-global unpadded
+arrays (the reference stores backend-padded per-rank blocks; global
+layout is sharding-agnostic and restores onto any device mesh). The RNG
+key is also saved so stochastic BCs resume deterministically.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, config, verbose=True):
+        self.config = config
+        self.verbose = verbose
+
+    def _fname(self, timestep):
+        return f"{self.config.checkpoint_prefix}_{timestep:06d}.npz"
+
+    def should_checkpoint(self, timestep) -> bool:
+        f = self.config.checkpoint_freq
+        return f > 0 and timestep % f == 0
+
+    def write(self, state, timestep, time, dt, stats=None, extra=None):
+        arrays = {}
+        for k in ("u", "v", "w", "phi", "key"):
+            if k in state:
+                arrays[k] = np.asarray(state[k])
+        if "olds" in state:
+            for i, o in enumerate(state["olds"]):
+                arrays[f"olds_{i}"] = np.asarray(o)
+            arrays["n_olds_vars"] = np.asarray(len(state["olds"]))
+        arrays["timestep"] = np.asarray(timestep)
+        arrays["time"] = np.asarray(time)
+        arrays["dt"] = np.asarray(dt)
+        if stats is not None:
+            for k, v in stats.items():
+                arrays[f"stats_{k}"] = np.asarray(v)
+        if extra is not None:
+            for k, v in extra.items():
+                arrays[f"extra_{k}"] = np.asarray(v)
+
+        fname = self._fname(timestep)
+        tmp = fname + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, fname)  # atomic (checkpoint_manager.f90:296-310)
+        if self.verbose:
+            print(f"Checkpoint written: {fname}")
+        if not self.config.keep_checkpoint:
+            self._cleanup(keep=fname)
+        return fname
+
+    def _cleanup(self, keep):
+        for f in glob.glob(f"{self.config.checkpoint_prefix}_*.npz"):
+            if f != keep:
+                os.remove(f)
+
+    def latest(self):
+        files = sorted(glob.glob(f"{self.config.checkpoint_prefix}_*.npz"))
+        return files[-1] if files else None
+
+    def restore(self, state, path=None, dtype=None):
+        """Load a checkpoint into an existing state pytree template.
+        Returns (state, timestep, time, dt, stats)."""
+        path = path or self.config.restart_file or self.latest()
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(f"no checkpoint found at {path!r}")
+        import jax.numpy as jnp
+        z = np.load(path)
+        new = dict(state)
+        dtype = dtype or state["u"].dtype
+        for k in ("u", "v", "w", "phi"):
+            if k in z and k in new:
+                new[k] = jnp.asarray(z[k], dtype)
+        if "key" in z and "key" in new:
+            new["key"] = jnp.asarray(z["key"], new["key"].dtype)
+        if "olds" in state and "n_olds_vars" in z:
+            n = int(z["n_olds_vars"])
+            new["olds"] = tuple(jnp.asarray(z[f"olds_{i}"], dtype)
+                                for i in range(n))
+        timestep = int(z["timestep"])
+        new["istep"] = jnp.asarray(timestep + 1, new["istep"].dtype)
+        stats = {k[len("stats_"):]: z[k] for k in z.files
+                 if k.startswith("stats_")}
+        if self.verbose:
+            print(f"Restart from {path} at iteration {timestep}")
+        return new, timestep, float(z["time"]), float(z["dt"]), stats

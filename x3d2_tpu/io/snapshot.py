@@ -1,0 +1,133 @@
+"""Snapshot manager: strided, optionally single-precision visualisation
+output.
+
+Parity with reference src/io/snapshot_manager.f90: field menu
+u,v,w[,pressure,vort,qcrit,ibm,phi_N] (get_snapshot_fields:198-243),
+spatial striding (output_stride), optional downcast (snapshot_sp), one
+persistent store with appended steps. Alongside the .npz per step we write
+a ParaView-readable VTK XML ImageData (.vti) file per step (the reference
+emits a VTK-XML attribute for the ADIOS2VTXReader,
+snapshot_manager.f90:245-285) plus a .pvd collection for time series.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+
+import numpy as np
+
+from ..common import DataLoc
+
+
+class SnapshotManager:
+    def __init__(self, case, config, verbose=True):
+        self.case = case
+        self.config = config
+        self.verbose = verbose
+        self.steps = []
+        want = ["u", "v", "w"] + [f for f in config.output_fields if f]
+        self.fields = want
+        derived = [f for f in ("vort", "qcrit") if f in want]
+        self._derived_fn = None
+        if derived:
+            from ..postprocess import make_derived_fields_fn
+            self._derived_fn = make_derived_fields_fn(
+                case.solver, case.dt, want=tuple(derived))
+        os.makedirs(self._dir, exist_ok=True)
+
+    @property
+    def _dir(self):
+        return f"{self.config.snapshot_prefix}_out"
+
+    def should_snapshot(self, timestep) -> bool:
+        f = self.config.snapshot_freq
+        return f > 0 and timestep % f == 0
+
+    def write(self, state, timestep, time):
+        s = self.config.output_stride
+        sl = tuple(slice(None, None, max(1, int(st))) for st in s)
+        out_dtype = np.float32 if self.config.snapshot_sp else None
+        data = {}
+        for name in ("u", "v", "w"):
+            if name in self.fields:
+                data[name] = np.asarray(state[name])[sl]
+        if "pressure" in self.fields and "p" in state:
+            from ..postprocess import pressure_vert
+            pv = pressure_vert(self.case.solver, state["p"], self.case.dt)
+            data["pressure"] = np.asarray(pv)[sl]
+        if self._derived_fn is not None:
+            der = self._derived_fn(state["u"], state["v"], state["w"])
+            for k, v in der.items():
+                data[k] = np.asarray(v)[sl]
+        if "ibm" in self.fields and getattr(self.case, "ep", None) is not None:
+            data["ibm"] = np.asarray(self.case.ep)[sl]
+        nphi = self.case.params.n_species
+        for i in range(nphi):
+            name = f"phi_{i + 1}"
+            if name in self.fields or "species" in self.fields:
+                data[name] = np.asarray(state["phi"][i])[sl]
+        if out_dtype is not None:
+            data = {k: v.astype(out_dtype) for k, v in data.items()}
+
+        path = os.path.join(self._dir, f"step_{timestep:06d}.npz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, time=time, timestep=timestep, **data)
+        os.replace(tmp, path)
+        vti = self._write_vti(data, timestep)
+        self.steps.append((timestep, time, os.path.basename(vti)))
+        self._write_pvd()
+        if self.verbose:
+            print(f"Snapshot written: {path} fields={sorted(data)}")
+        return path
+
+    # -- minimal VTK XML writers (ParaView-compatible) -------------------
+    def _write_vti(self, data, timestep):
+        """VTK XML ImageData with inline base64 point data."""
+        mesh = self.case.mesh
+        s = self.config.output_stride
+        path = os.path.join(self._dir, f"step_{timestep:06d}.vti")
+        shape = next(iter(data.values())).shape
+        nx, ny, nz = shape[:3]
+        dx = [mesh.d[a] * s[a] for a in range(3)]
+        arrays = []
+        for name, arr in data.items():
+            a32 = np.ascontiguousarray(
+                np.transpose(arr, (2, 1, 0)), dtype=np.float32)  # VTK x-fast
+            raw = a32.tobytes()
+            payload = struct.pack("<I", len(raw)) + raw
+            b64 = base64.b64encode(payload).decode()
+            arrays.append(
+                f'<DataArray type="Float32" Name="{name}" '
+                f'format="binary">{b64}</DataArray>')
+        body = "\n".join(arrays)
+        xml = f"""<?xml version="1.0"?>
+<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian" header_type="UInt32">
+  <ImageData WholeExtent="0 {nx - 1} 0 {ny - 1} 0 {nz - 1}" Origin="0 0 0" Spacing="{dx[0]} {dx[1]} {dx[2]}">
+    <Piece Extent="0 {nx - 1} 0 {ny - 1} 0 {nz - 1}">
+      <PointData>
+{body}
+      </PointData>
+    </Piece>
+  </ImageData>
+</VTKFile>
+"""
+        with open(path, "w") as fh:
+            fh.write(xml)
+        return path
+
+    def _write_pvd(self):
+        path = f"{self.config.snapshot_prefix}.pvd"
+        rows = "\n".join(
+            f'    <DataSet timestep="{t}" file="{self._dir}/{f}"/>'
+            for _, t, f in self.steps)
+        with open(path, "w") as fh:
+            fh.write(f"""<?xml version="1.0"?>
+<VTKFile type="Collection" version="0.1">
+  <Collection>
+{rows}
+  </Collection>
+</VTKFile>
+""")
