@@ -36,27 +36,35 @@ def make_device_mesh(nproc_y: int, nproc_z: int, devices=None) -> DeviceMesh:
     return DeviceMesh(dev, axis_names=("y", "z"))
 
 
-def field_spec() -> P:
-    """(nx, ny, nz) fields: shard y and z axes."""
-    return P(None, "y", "z")
+def field_spec(dmesh: DeviceMesh = None, shape=None) -> P:
+    """(nx, ny, nz) fields: shard y and z axes. Axes whose extent does not
+    divide the mesh dimension (e.g. odd vertex counts on wall-normal
+    Dirichlet axes) are left unsharded -- GSPMD requires even splits."""
+    if dmesh is None or shape is None:
+        return P(None, "y", "z")
+    ny = dmesh.shape["y"]
+    nz = dmesh.shape["z"]
+    return P(None,
+             "y" if shape[-2] % ny == 0 else None,
+             "z" if shape[-1] % nz == 0 else None)
 
 
 def state_shardings(dmesh: DeviceMesh, state) -> dict:
     """NamedShardings for a case state pytree."""
-    fs = NamedSharding(dmesh, field_spec())
+
+    def fsh(f):
+        spec = field_spec(dmesh, f.shape)
+        lead = (None,) * (f.ndim - 3)
+        return NamedSharding(dmesh, P(*(lead + tuple(spec))))
+
     out = {}
     for k, v in state.items():
-        if k in ("u", "v", "w", "p"):
-            out[k] = fs
-        elif k == "phi":
-            out[k] = NamedSharding(dmesh, P(None, None, "y", "z"))
+        if k in ("u", "v", "w", "p", "phi"):
+            out[k] = fsh(v)
         elif k == "olds":
             # olds is a pytree matching fields with a leading history axis
-            out[k] = jax.tree_util.tree_map(
-                lambda f: NamedSharding(
-                    dmesh, P(*((None,) * (f.ndim - 3) + (None, "y", "z")))),
-                v)
-        else:  # scalars (istep)
+            out[k] = jax.tree_util.tree_map(fsh, v)
+        else:  # scalars (istep, key)
             out[k] = NamedSharding(dmesh, P())
     return out
 
@@ -66,11 +74,23 @@ def shard_state(dmesh: DeviceMesh, state) -> dict:
     return jax.device_put(state, state_shardings(dmesh, state))
 
 
-def make_sharded_step(case, dmesh: DeviceMesh, state=None):
-    """jit the case step with explicit in/out shardings over the mesh."""
+def make_sharded_step(case, dmesh: DeviceMesh, state=None,
+                      pin_shardings=None):
+    """jit the case step sharded over the device mesh.
+
+    On TPU, in/out shardings are pinned explicitly (stable state layout,
+    donation-friendly). On the virtual CPU test mesh, explicit output
+    shardings trigger an XLA:CPU FFT-thunk layout RET_CHECK, so there we
+    only place the inputs and let GSPMD propagate; the propagated field
+    shardings come out identical (verified by tests/test_sharding.py)."""
     if state is None:
         state = case.initial_state()
     sh = state_shardings(dmesh, state)
-    step = jax.jit(case.step_fn, in_shardings=(sh,), out_shardings=sh,
-                   donate_argnums=0)
+    if pin_shardings is None:
+        pin_shardings = dmesh.devices.flat[0].platform != "cpu"
+    if pin_shardings:
+        step = jax.jit(case.step_fn, in_shardings=(sh,), out_shardings=sh,
+                       donate_argnums=0)
+    else:
+        step = jax.jit(case.step_fn, donate_argnums=0)
     return step, jax.device_put(state, sh)
