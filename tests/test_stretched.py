@@ -1,0 +1,84 @@
+"""Stretched-y spectral Poisson operator verification.
+
+The 'centred' and 'top-bottom' stretchings (the ones the reference's
+examples use, examples/channel/input.x3d:20) must satisfy the
+div(grad(solve(f))) roundtrip to near machine precision, like the
+uniform-mesh variants.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from x3d2_tpu.common import BC, DataLoc
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.solver import NavierStokes
+from x3d2_tpu.cases import ChannelCase, SolverParams
+from x3d2_tpu.config import ChannelConfig
+
+
+def make(stretching, beta=0.259065151):
+    mesh = Mesh((32, 33, 32), (4.0, 2.0, 2.0),
+                ((BC.PERIODIC, BC.PERIODIC),
+                 (BC.DIRICHLET, BC.DIRICHLET),
+                 (BC.PERIODIC, BC.PERIODIC)),
+                stretching=("uniform", stretching, "uniform"),
+                beta=(1.0, beta, 1.0))
+    return mesh, NavierStokes.build(mesh, nu=1.0, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("stretching", ["top-bottom", "centred"])
+def test_stretched_poisson_roundtrip(stretching):
+    mesh, ns = make(stretching)
+    X, Y, Z = mesh.coord_grids(DataLoc.CELL)
+    f = (np.cos(2 * np.pi * X / 4.0) * np.cos(np.pi * Y / 2.0)
+         * np.cos(2 * np.pi * Z / 2.0)
+         + 0.3 * np.cos(4 * np.pi * X / 4.0))
+    f = np.broadcast_to(f, mesh.dims(DataLoc.CELL)).copy()
+    f -= f.mean()
+    p = ns.poisson(jnp.asarray(f))
+    lap = np.asarray(ns.divergence_v2p(*ns.gradient_p2v(p)))
+    err = lap - f
+    err -= err.mean()
+    assert np.max(np.abs(err)) < 1e-10, np.max(np.abs(err))
+
+
+def test_bottom_stretching_rejected():
+    with pytest.raises(NotImplementedError):
+        make("bottom")
+
+
+def test_stretched_mesh_metrics():
+    """Stretching metric identities: d(coord)/d(index) ~ d/ds (chain rule
+    consistency of the analytic tangent map, mesh_content.f90:142-253)."""
+    mesh, _ = make("top-bottom")
+    g = mesh.geo[1]
+    y = g.vert_coords
+    # numerical dy/d(eta*L) vs 1/ds (ds = d eta_comp/dy scale factor)
+    dy = np.gradient(y, g.d)
+    # vert_ds is ds/dy in solver convention: dy/d(s) * vert_ds ~= 1
+    assert np.allclose(dy[2:-2] * g.vert_ds[2:-2], 1.0, atol=2e-2)
+    # wall clustering: spacing at walls much smaller than centre
+    assert (y[1] - y[0]) < 0.4 * (y[len(y) // 2 + 1] - y[len(y) // 2])
+    # domain covers [0, L]
+    assert abs(y[0]) < 1e-12 and abs(y[-1] - 2.0) < 1e-9
+
+
+def test_channel_case_stretched_runs():
+    """The reference channel headline config: stretched top-bottom y wall
+    clustering with RK3 (examples/channel/input.x3d)."""
+    mesh = Mesh((16, 17, 16), (4.0, 2.0, 2.0),
+                ((BC.PERIODIC, BC.PERIODIC),
+                 (BC.DIRICHLET, BC.DIRICHLET),
+                 (BC.PERIODIC, BC.PERIODIC)),
+                stretching=("uniform", "top-bottom", "uniform"),
+                beta=(1.0, 0.259065151, 1.0))
+    params = SolverParams(Re=4200.0, time_intg="RK3", dt=1e-3)
+    case = ChannelCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                       verbose=False,
+                       case_cfg=ChannelConfig(init_noise=(0.01, 0.01, 0.01)))
+    state = case.run(n_iters=3, state=case.initial_state(), n_output=10**9)
+    u = np.asarray(state["u"])
+    assert np.isfinite(u).all()
+    ncell = np.prod(mesh.global_cell_dims)
+    assert abs(u.sum() / ncell - 2.0 / 3.0) < 0.1

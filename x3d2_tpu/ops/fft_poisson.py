@@ -62,12 +62,14 @@ def wave_numbers(n, L, d, periodic, c_a, c_b, c_alpha):
     wp = c_a * 2 * d * np.sin(0.5 * w) + c_b * 2 * d * np.sin(1.5 * w)
     wp = wp / (1.0 + 2 * c_alpha * np.cos(w))
     e = n * w / L
+    k = n * wp / L
     k2 = (n * wp / L) ** 2
     if periodic:
         # mirror onto the conjugate modes (poisson_fft.f90:865-869)
         e[n // 2 + 1:] = e[1:n - n // 2][::-1]
+        k[n // 2 + 1:] = k[1:n - n // 2][::-1]
         k2[n // 2 + 1:] = k2[1:n - n // 2][::-1]
-    return a, b, e, k2
+    return a, b, e, k, k2
 
 
 def _interp_transfer(op, e, d):
@@ -126,9 +128,11 @@ class SpectralPoisson:
         self.variant = variants[per]
         if any(mesh.stretched[a] for a in (0, 2)):
             raise ValueError("FFT Poisson does not support x/z stretching")
-        if mesh.stretched[1]:
-            raise NotImplementedError(
-                "stretched-y spectral operator not yet implemented")
+        self.stretched_y = mesh.stretched[1]
+        if self.stretched_y and self.variant != "010":
+            raise ValueError(
+                "stretched y requires the 010 BC combination "
+                "(reference poisson_fft.f90:181-186)")
 
         nx, ny, nz = mesh.global_cell_dims
         self.nc = (nx, ny, nz)
@@ -148,7 +152,7 @@ class SpectralPoisson:
             st = axops.stagder_v2p
             tabs.append(wave_numbers(self.nc[ax], mesh.L[ax], mesh.d[ax],
                                      per[ax], st.a, st.b, st.alpha))
-        a_, b_, e_, k2_ = zip(*tabs)
+        a_, b_, e_, k_, k2_ = zip(*tabs)
         T = [
             _interp_transfer(ops[ax].interpl_v2p, e_[ax], mesh.d[ax])
             for ax in range(3)
@@ -189,6 +193,28 @@ class SpectralPoisson:
             else:
                 s = np.where(np.arange(n) > n // 2, -1.0, 1.0)
             self.S.append(dev(s, a))
+
+        # stretched-y: pentadiagonal spectral solve replaces the waves
+        # division (stretching_matrix, poisson_fft.f90:275-652).
+        # 'centred'/'top-bottom' are validated to ~1e-13 against the
+        # div(grad) roundtrip; 'bottom' is rejected -- the reference's own
+        # 'bottom' spectral path has no test coverage and no example, and
+        # its analytic matrices do not satisfy the discrete roundtrip.
+        self.stretch_solver = None
+        if self.stretched_y:
+            g = mesh.geo[1]
+            if g.stretching == "bottom":
+                raise NotImplementedError(
+                    "'bottom' y-stretching is not supported by the FFT "
+                    "Poisson solver (untested upstream path)")
+            from .stretched_poisson import (StretchedYSolver,
+                                            build_stretch_matrices)
+            a_sets, offsets, inc = build_stretch_matrices(
+                self.spec_shape[0], ny, nz, T[0], T[1], T[2],
+                k_[0], k_[1], k_[2], k2_[0], k2_[2],
+                mesh.L[1], g.alpha, g.beta, g.stretching)
+            self.stretch_solver = StretchedYSolver(a_sets, a_sets, offsets,
+                                                   inc, dtype=dtype)
 
         # post-solve Nyquist zero mask: at (Nyquist, Nyquist) of the two
         # axes named by each variant's kernel (process_spectral_010:216,
@@ -294,12 +320,15 @@ class SpectralPoisson:
             # folded axes: pair recombination (x before y, 110 kernels)
             for a in self.folded:
                 dr, dc = self._pair_fwd(dr, dc, a)
-            w = self.waves
-            okr = jnp.abs(w) >= _EPS  # abs guards, process_spectral_010:203
-            dr = jnp.where(okr, -dr / jnp.where(okr, w, 1.0), 0.0)
-            dc = jnp.where(okr, -dc / jnp.where(okr, w, 1.0), 0.0)
-            dr = dr * self.zero_mask
-            dc = dc * self.zero_mask
+            if self.stretch_solver is not None:
+                dr, dc = self.stretch_solver(dr, dc, self.nc[0], self.nc[2])
+            else:
+                w = self.waves
+                okr = jnp.abs(w) >= _EPS  # abs guards (010 kernel :203)
+                dr = jnp.where(okr, -dr / jnp.where(okr, w, 1.0), 0.0)
+                dc = jnp.where(okr, -dc / jnp.where(okr, w, 1.0), 0.0)
+                dr = dr * self.zero_mask
+                dc = dc * self.zero_mask
             for a in reversed(self.folded):
                 dr, dc = self._pair_bwd(dr, dc, a)
             for a in range(3):
