@@ -1,0 +1,162 @@
+"""Spectral Poisson solve as separable real matmul transforms.
+
+TPU-native alternative to the FFT pipeline (fft_poisson.py): the discrete
+pressure operator div(grad(.)) built from the compact staggered schemes is
+diagonalised by a SEPARABLE real basis -- full real-DFT (cos/sin,
+halfcomplex packing) on periodic axes and shifted-cosine DCT on
+non-periodic (Neumann-pressure) axes -- with eigenvalues given by the
+reference's modified-wavenumber tables (poisson_fft.f90 waves_set:654-831).
+The solve is therefore
+
+    p = T_x^-1 T_y^-1 T_z^-1 [ -T_z T_y T_x f / waves ]
+
+i.e. six n*n real matmuls (MXU) plus one elementwise division, replacing
+rfft/fft pipelines, even-extension folds and phase-shift postprocessing
+entirely. Transform matrices and their exact inverses are built once in
+float64. Equivalence with the FFT path is enforced by tests
+(tests/test_poisson.py runs both).
+
+Advantages on TPU: matmuls run on the MXU (FFTs do not), the whole solve
+fuses into the step program, and sharded-axis contractions lower to clean
+reduce-scatter collectives (no FFT all-to-alls; also avoids the XLA:CPU
+sharded-FFT layout bug).
+
+The stretched-y pentadiagonal solve (stretched_poisson.py) slots between
+the transforms, operating on the single packed-real array (vs the FFT
+path's separate re/im solves).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import BC
+from ..mesh import Mesh
+from .compact import apply_matrix
+from .fft_poisson import wave_numbers, _interp_transfer
+
+_EPS = 1e-16
+
+
+def real_dft_matrix(n: int) -> np.ndarray:
+    """Real DFT with halfcomplex packing: rows 0..n/2 are cos(2*pi*k*j/n),
+    rows n/2+1..n-1 are sin(2*pi*k*j/n) for k = n-m (so row m pairs with
+    the mirrored k2 tables)."""
+    j = np.arange(n)
+    T = np.zeros((n, n))
+    for m in range(n // 2 + 1):
+        T[m] = np.cos(2 * np.pi * m * j / n)
+    for m in range(n // 2 + 1, n):
+        k = n - m
+        T[m] = np.sin(2 * np.pi * k * j / n)
+    return T
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """Shifted-cosine basis for Neumann-pressure axes (cell-centred):
+    rows cos(pi*k*(j+1/2)/n) -- the eigenbasis the reference reaches via
+    even-extension folding + paired recombination."""
+    j = np.arange(n) + 0.5
+    return np.cos(np.pi * np.arange(n)[:, None] * j[None, :] / n)
+
+
+class MatmulPoisson:
+    """Pressure Poisson solve on the cell grid via separable real
+    transforms; supports BC variants 000/010/100/110 and stretched y."""
+
+    def __init__(self, mesh: Mesh, ops, dtype=jnp.float32):
+        self.mesh = mesh
+        per = mesh.periodic
+        variants = {(True, True, True): "000", (True, False, True): "010",
+                    (False, True, True): "100", (False, False, True): "110"}
+        if per not in variants:
+            raise ValueError(
+                f"unsupported Poisson BC combination {per} "
+                "(reference poisson_fft.f90:174-203 supports 000/010/100/110)")
+        self.variant = variants[per]
+        if any(mesh.stretched[a] for a in (0, 2)):
+            raise ValueError("FFT Poisson does not support x/z stretching")
+        self.stretched_y = mesh.stretched[1]
+        if self.stretched_y and self.variant != "010":
+            raise ValueError("stretched y requires the 010 BC combination")
+
+        nx, ny, nz = mesh.global_cell_dims
+        self.nc = (nx, ny, nz)
+        self.rdtype = dtype
+        self.folded = tuple(a for a in range(3) if not per[a])
+
+        # modified-wavenumber tables (full length per axis)
+        tabs, T = [], []
+        for ax, axops in enumerate(ops):
+            st = axops.stagder_v2p
+            tabs.append(wave_numbers(self.nc[ax], mesh.L[ax], mesh.d[ax],
+                                     per[ax], st.a, st.b, st.alpha))
+            T.append(_interp_transfer(ops[ax].interpl_v2p, tabs[ax][2],
+                                      mesh.d[ax]))
+        k2 = [t[4] for t in tabs]
+        k1 = [t[3] for t in tabs]
+
+        def ax3(v, a):
+            shape = [1, 1, 1]
+            shape[a] = -1
+            return np.asarray(v).reshape(shape)
+
+        waves = (ax3(k2[0], 0) * (ax3(T[1], 1) * ax3(T[2], 2)) ** 2
+                 + ax3(k2[1], 1) * (ax3(T[0], 0) * ax3(T[2], 2)) ** 2
+                 + ax3(k2[2], 2) * (ax3(T[0], 0) * ax3(T[1], 1)) ** 2)
+        waves = np.broadcast_to(waves, self.nc).copy()
+
+        # solve diagonal: -1/waves with singular-mode guard; extra Nyquist
+        # zeroing for folded variants (process_spectral_010:216 analogue)
+        ok = np.abs(waves) >= _EPS
+        inv = np.where(ok, -1.0 / np.where(ok, waves, 1.0), 0.0)
+        if self.folded:
+            zero_axes = {"010": (0, 2), "100": (1, 2), "110": (0, 2)}[
+                self.variant]
+            idx = [slice(None)] * 3
+            good = True
+            for a in zero_axes:
+                if self.nc[a] % 2:
+                    good = False
+                idx[a] = self.nc[a] // 2
+            if good:
+                inv[tuple(idx)] = 0.0
+        self.inv_waves = jnp.asarray(inv, dtype=dtype)
+
+        # per-axis transforms + exact inverses (float64 setup)
+        self.Tf, self.Ti = [], []
+        for a in range(3):
+            M = dct_matrix(self.nc[a]) if a in self.folded \
+                else real_dft_matrix(self.nc[a])
+            self.Tf.append(jnp.asarray(M, dtype=dtype))
+            self.Ti.append(jnp.asarray(np.linalg.inv(M), dtype=dtype))
+
+        self.stretch_solver = None
+        if self.stretched_y:
+            g = mesh.geo[1]
+            if g.stretching == "bottom":
+                raise NotImplementedError(
+                    "'bottom' y-stretching is not supported (untested "
+                    "upstream path)")
+            from .stretched_poisson import (StretchedYSolver,
+                                            build_stretch_matrices)
+            a_sets, offsets, inc = build_stretch_matrices(
+                nx, ny, nz, T[0], T[1], T[2],
+                k1[0], k1[1], k1[2], k2[0], k2[2],
+                mesh.L[1], g.alpha, g.beta, g.stretching)
+            self.stretch_solver = StretchedYSolver(a_sets, a_sets, offsets,
+                                                   inc, dtype=dtype)
+
+    def __call__(self, f: jax.Array) -> jax.Array:
+        F = f
+        for a in range(3):
+            F = apply_matrix(self.Tf[a], F, a)
+        if self.stretch_solver is not None:
+            F = self.stretch_solver.solve_packed(F, self.nc[0], self.nc[2])
+        else:
+            F = F * self.inv_waves
+        for a in range(3):
+            F = apply_matrix(self.Ti[a], F, a)
+        return F

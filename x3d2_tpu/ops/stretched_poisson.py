@@ -299,18 +299,28 @@ class StretchedYSolver:
         x = jnp.concatenate([xr[::-1], xn1[None], xn[None]], axis=0)
         return x
 
+    def solve_component(self, comp, facs):
+        """Solve one real component; input (nx_spec, ny, nz_spec)."""
+        t = jnp.moveaxis(comp, 1, 0)  # (ny, nx_spec, nz)
+        res = jnp.zeros_like(t)
+        for fac, off in zip(facs, self.offsets):
+            sub = t[off::self.inc]
+            sol = self._solve_one(fac, sub)
+            res = res.at[off::self.inc].set(sol)
+        return jnp.moveaxis(res, 0, 1)
+
+    def solve_packed(self, F, nx, nz):
+        """Single packed-real-basis solve (matmul_poisson path)."""
+        F = self.solve_component(F, self.fac_re)
+        if nx % 2 == 0 and nz % 2 == 0 and nx // 2 < self.nx_spec \
+                and nz // 2 < self.nz_spec:
+            F = F.at[nx // 2, :, nz // 2].set(0.0)
+        return F
+
     def __call__(self, dr, dc, nx, nz):
-        """Solve for both components; inputs (nx_spec, ny, nz_spec)."""
-        outs = []
-        for comp, facs in ((dr, self.fac_re), (dc, self.fac_im)):
-            t = jnp.moveaxis(comp, 1, 0)  # (ny, nx_spec, nz)
-            res = jnp.zeros_like(t)
-            for fac, off in zip(facs, self.offsets):
-                sub = t[off::self.inc]
-                sol = self._solve_one(fac, sub)
-                res = res.at[off::self.inc].set(sol)
-            outs.append(jnp.moveaxis(res, 0, 1))
-        dr, dc = outs
+        """Solve both re/im components (FFT-pipeline path)."""
+        dr = self.solve_component(dr, self.fac_re)
+        dc = self.solve_component(dc, self.fac_im)
         # kernel Nyquist zero: ix==nx/2+1 and iz==nz/2+1 (1-based)
         if nx % 2 == 0 and nz % 2 == 0 and nx // 2 < self.nx_spec \
                 and nz // 2 < self.nz_spec:

@@ -51,11 +51,21 @@ class NavierStokes:
 
     @classmethod
     def build(cls, mesh: Mesh, nu: float, *, dtype=jnp.float32,
-              schemes: dict | None = None, nu_species=()) -> "NavierStokes":
+              schemes: dict | None = None, nu_species=(),
+              poisson_method: str = "matmul") -> "NavierStokes":
+        """poisson_method: 'matmul' (separable real transforms on the MXU,
+        the TPU-native default) or 'fft' (literal port of the reference's
+        FFT + fold + phase-shift pipeline; both verified equivalent)."""
         from .ops.dirops import build_all_ops
         schemes = schemes or {}
         ops = build_all_ops(mesh, dtype=dtype, **schemes)
-        poisson = SpectralPoisson(mesh, ops, dtype=dtype)
+        if poisson_method == "matmul":
+            from .ops.matmul_poisson import MatmulPoisson
+            poisson = MatmulPoisson(mesh, ops, dtype=dtype)
+        elif poisson_method == "fft":
+            poisson = SpectralPoisson(mesh, ops, dtype=dtype)
+        else:
+            raise ValueError(f"unknown poisson_method {poisson_method!r}")
         return cls(mesh=mesh, ops=ops, nu=nu, dtype=dtype, poisson=poisson,
                    nu_species=tuple(nu_species))
 
@@ -108,9 +118,14 @@ class NavierStokes:
                     op_du, op_dud, op_d2u = o.der1st, o.der1st_sym, o.der2nd
                 else:
                     op_du, op_dud, op_d2u = o.der1st_sym, o.der1st, o.der2nd_sym
-                dq = op_du(q, axis)
+                # dq and d2q share the input q: stack the operator rows so
+                # q is read once and the MXU runs one larger matmul
+                M2 = jnp.concatenate([op_du.M, op_d2u.M])
+                both = apply_matrix(M2, q, axis)
+                nq = op_du.n_out
+                dq = jax.lax.slice_in_dim(both, 0, nq, 1, axis)
+                d2q = jax.lax.slice_in_dim(both, nq, 2 * nq, 1, axis)
                 dqd = op_dud(prod(c, axis), axis)
-                d2q = op_d2u(q, axis)
                 if has_corr:
                     d2q = d2q + dq * cb
                 rhs[c] = rhs[c] - 0.5 * (conv * dq + dqd) + self.nu * d2q
@@ -148,10 +163,17 @@ class NavierStokes:
         """grad(p) from CELL to VERT grid (vector_calculus.f90:248-332),
         z -> y -> x sweep order."""
         ox, oy, oz = self.ops
-        p_z = oz.interpl_p2v(p, 2)
-        dpdz = oz.stagder_p2v(p, 2)
-        p_zy = oy.interpl_p2v(p_z, 1)
-        dpdy = oy.stagder_p2v(p_z, 1)
+        # operator pairs sharing an input are row-stacked into one matmul
+        Mz = jnp.concatenate([oz.interpl_p2v.M, oz.stagder_p2v.M])
+        both = apply_matrix(Mz, p, 2)
+        nzv = oz.interpl_p2v.n_out
+        p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
+        dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
+        My = jnp.concatenate([oy.interpl_p2v.M, oy.stagder_p2v.M])
+        both = apply_matrix(My, p_z, 1)
+        nyv = oy.interpl_p2v.n_out
+        p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
+        dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
         dpdz = oy.interpl_p2v(dpdz, 1)
         dpdx = ox.stagder_p2v(p_zy, 0)
         dpdy = ox.interpl_p2v(dpdy, 0)
