@@ -1,0 +1,92 @@
+"""Snapshot manager: strided/f32 output, VTK VTI encoding (native C++ path
+with Python fallback), PVD collection, stats writing."""
+
+import base64
+import os
+import struct
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from x3d2_tpu.common import BC
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.cases import SolverParams, TGVCase
+from x3d2_tpu.config import CheckpointConfig, StatsConfig
+from x3d2_tpu.io.manager import IOManager
+from x3d2_tpu.io import native
+
+
+def test_native_helpers_match_python():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(33, 17, 24))
+    for arr in (a.astype(np.float32), a):
+        got = native.pack_strided(arr, (2, 3, 2))
+        ref = np.asarray(arr[::2, ::3, ::2], np.float32)
+        assert np.array_equal(got, ref)
+    data = rng.normal(size=1000).astype(np.float32)
+    raw = data.tobytes()
+    ref = base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
+    assert native.vtk_b64(data) == ref
+
+
+def test_snapshot_vti_and_pvd(tmp_path):
+    os.chdir(tmp_path)
+    mesh = Mesh((16, 16, 16), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB2", dt=1e-3)
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+    ck = CheckpointConfig(snapshot_freq=2,
+                          snapshot_prefix=str(tmp_path / "snap"),
+                          output_stride=(2, 2, 2), snapshot_sp=True,
+                          output_fields=("vort", "qcrit", "pressure"))
+    io = IOManager(case, ck, StatsConfig())
+    case.run(n_iters=4, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+
+    d = str(tmp_path / "snap_out")
+    files = sorted(os.listdir(d))
+    assert "step_000002.npz" in files and "step_000004.vti" in files
+
+    z = np.load(os.path.join(d, "step_000004.npz"))
+    assert set(z.files) >= {"u", "v", "w", "vort", "qcrit", "pressure",
+                            "time", "timestep"}
+    assert z["u"].shape == (8, 8, 8)
+    assert z["u"].dtype == np.float32
+
+    # VTI payloads decode to exactly the npz data
+    tree = ET.parse(os.path.join(d, "step_000004.vti"))
+    for da in tree.getroot().findall(".//DataArray"):
+        raw = base64.b64decode(da.text.strip())
+        n = struct.unpack("<I", raw[:4])[0]
+        arr = np.frombuffer(raw[4:4 + n], np.float32)
+        ref = np.transpose(z[da.get("Name")], (2, 1, 0)).ravel()
+        assert np.array_equal(arr, ref), da.get("Name")
+
+    # PVD collection references both steps
+    pvd = open(str(tmp_path / "snap.pvd")).read()
+    assert "step_000002.vti" in pvd and "step_000004.vti" in pvd
+
+
+def test_stats_written_with_derived(tmp_path):
+    os.chdir(tmp_path)
+    mesh = Mesh((12, 12, 12), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB1", dt=1e-3)
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+    st = StatsConfig(initstat=1, istatfreq=1, istatout=4,
+                     stats_prefix=str(tmp_path / "stats"))
+    io = IOManager(case, CheckpointConfig(), st)
+    case.run(n_iters=4, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+    z = np.load(str(tmp_path / "stats_000004.npz"))
+    assert set(z.files) >= {"umean", "vmean", "wmean", "uprime", "vprime",
+                            "wprime", "uvmean", "uwmean", "vwmean",
+                            "sample_count"}
+    assert int(z["sample_count"]) == 4
+    # u' >= 0 everywhere; umean finite
+    assert (z["uprime"] >= 0).all()
+    assert np.isfinite(z["umean"]).all()

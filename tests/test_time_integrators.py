@@ -1,0 +1,69 @@
+"""Time integrator order-of-convergence sweep (reference
+tests/verification/test_time_integrator.f90:26-34): integrate a linear ODE
+with AB1-4 and RK1-4 at two resolutions and verify the convergence rate
+matches the scheme order."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from x3d2_tpu.time_integrators import TimeIntegrator
+
+LAM = -1.0
+
+
+def integrate(name, dt, t_end):
+    ti = TimeIntegrator(name)
+    y = (jnp.asarray(np.ones((2, 2, 2))),)
+    nsteps = int(round(t_end / dt))
+    if ti.kind == "AB":
+        # analytic history prefill (exact derivatives at t = -dt, -2dt, ..)
+        # so the startup does not pollute the asymptotic order, mirroring
+        # the reference convergence test setup
+        hist = [LAM * np.exp(LAM * (-(j + 1) * dt)) * np.ones((2, 2, 2))
+                for j in range(ti.nolds)]
+        olds = (jnp.asarray(np.stack(hist)) if ti.nolds
+                else ti.empty_olds(y)[0],)
+        for istep in range(ti.order, ti.order + nsteps):
+            rhs = tuple(LAM * f for f in y)
+            y, olds = ti.ab_step(y, olds, jnp.asarray(istep, jnp.int32),
+                                 rhs, dt)
+    else:
+        for istep in range(nsteps):
+            y0 = y
+            ks = []
+            for istage in range(ti.nstage):
+                ks.append(tuple(LAM * f for f in y))
+                y = ti.rk_substage(y0, ks, istage, dt)
+    return float(y[0][0, 0, 0])
+
+
+@pytest.mark.parametrize("name,order", [
+    ("AB1", 1), ("AB2", 2), ("AB3", 3), ("AB4", 4),
+    ("RK1", 1), ("RK2", 2), ("RK3", 3), ("RK4", 4),
+])
+def test_order_of_convergence(name, order):
+    t_end = 1.0
+    exact = np.exp(LAM * t_end)
+    e1 = abs(integrate(name, 0.02, t_end) - exact)
+    e2 = abs(integrate(name, 0.01, t_end) - exact)
+    rate = np.log2(e1 / e2)
+    # allow generous slack for AB startup (lower-order first steps)
+    assert rate > order - 0.45, (name, rate, e1, e2)
+
+
+def test_ab3_exact_coefficients():
+    """AB3 step must reproduce the closed-form update with the reference
+    coefficients 23/12, -4/3, 5/12 (time_integrator.f90:114-115)."""
+    ti = TimeIntegrator("AB3")
+    y = (jnp.ones((2, 2, 2)),)
+    olds = (jnp.stack([2.0 * jnp.ones((2, 2, 2)),
+                       3.0 * jnp.ones((2, 2, 2))]),)
+    rhs = (jnp.full((2, 2, 2), 5.0),)
+    dt = 0.1
+    new, new_olds = ti.ab_step(y, olds, jnp.asarray(7, jnp.int32), rhs, dt)
+    expect = 1.0 + dt * (23 / 12 * 5.0 - 4 / 3 * 2.0 + 5 / 12 * 3.0)
+    assert abs(float(new[0][0, 0, 0]) - expect) < 1e-14
+    # history rotated: olds[0] = rhs, olds[1] = previous olds[0]
+    assert float(new_olds[0][0][0, 0, 0]) == 5.0
+    assert float(new_olds[0][1][0, 0, 0]) == 2.0

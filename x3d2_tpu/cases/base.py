@@ -128,7 +128,8 @@ class BaseCase:
         nsp = self.params.n_species
         if nsp:
             state["phi"] = jnp.asarray(fields["phi"], self.dtype)
-        if self.ti.nolds:
+        if self.ti.kind == "AB":
+            # AB1 carries a zero-length history (uniform state structure)
             tmpl = (u, v, w)
             if nsp:
                 tmpl = tmpl + (state["phi"],)

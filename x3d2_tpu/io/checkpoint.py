@@ -58,13 +58,18 @@ class CheckpointManager:
                 arrays[f"extra_{k}"] = np.asarray(v)
 
         fname = self._fname(timestep)
-        tmp = fname + ".tmp"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, **arrays)
-        os.replace(tmp, fname)  # atomic (checkpoint_manager.f90:296-310)
+        # serialise on the main thread; file write + atomic rename happen
+        # on the native background writer (checkpoint_manager.f90:296-310
+        # temp+mv semantics without blocking the time loop)
+        import io as _io
+        from . import native
+        buf = _io.BytesIO()
+        np.savez(buf, **arrays)
+        native.async_write(fname, buf.getvalue())
         if self.verbose:
             print(f"Checkpoint written: {fname}")
         if not self.config.keep_checkpoint:
+            native.async_flush()
             self._cleanup(keep=fname)
         return fname
 
@@ -74,12 +79,16 @@ class CheckpointManager:
                 os.remove(f)
 
     def latest(self):
+        from . import native
+        native.async_flush()  # ensure queued checkpoints are durable
         files = sorted(glob.glob(f"{self.config.checkpoint_prefix}_*.npz"))
         return files[-1] if files else None
 
     def restore(self, state, path=None, dtype=None):
         """Load a checkpoint into an existing state pytree template.
         Returns (state, timestep, time, dt, stats)."""
+        from . import native
+        native.async_flush()
         path = path or self.config.restart_file or self.latest()
         if not path or not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint found at {path!r}")

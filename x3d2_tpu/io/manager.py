@@ -48,3 +48,5 @@ class IOManager:
                 and self.stats_cfg.istatout > 0
                 and timestep != self.stats_mgr.last_written):
             self.stats_mgr.write(timestep)
+        from . import native
+        native.async_flush()  # all queued checkpoint writes durable

@@ -19,6 +19,7 @@ import struct
 import numpy as np
 
 from ..common import DataLoc
+from . import native
 
 
 class SnapshotManager:
@@ -47,29 +48,34 @@ class SnapshotManager:
 
     def write(self, state, timestep, time):
         s = self.config.output_stride
-        sl = tuple(slice(None, None, max(1, int(st))) for st in s)
-        out_dtype = np.float32 if self.config.snapshot_sp else None
+
+        def stride(arr):
+            arr = np.asarray(arr)
+            if self.config.snapshot_sp:
+                # native strided downcast (C++ path, io/native.py)
+                return native.pack_strided(arr, s)
+            return arr[tuple(slice(None, None, max(1, int(st)))
+                             for st in s)]
+
         data = {}
         for name in ("u", "v", "w"):
             if name in self.fields:
-                data[name] = np.asarray(state[name])[sl]
+                data[name] = stride(state[name])
         if "pressure" in self.fields and "p" in state:
             from ..postprocess import pressure_vert
             pv = pressure_vert(self.case.solver, state["p"], self.case.dt)
-            data["pressure"] = np.asarray(pv)[sl]
+            data["pressure"] = stride(pv)
         if self._derived_fn is not None:
             der = self._derived_fn(state["u"], state["v"], state["w"])
             for k, v in der.items():
-                data[k] = np.asarray(v)[sl]
+                data[k] = stride(v)
         if "ibm" in self.fields and getattr(self.case, "ep", None) is not None:
-            data["ibm"] = np.asarray(self.case.ep)[sl]
+            data["ibm"] = stride(self.case.ep)
         nphi = self.case.params.n_species
         for i in range(nphi):
             name = f"phi_{i + 1}"
             if name in self.fields or "species" in self.fields:
-                data[name] = np.asarray(state["phi"][i])[sl]
-        if out_dtype is not None:
-            data = {k: v.astype(out_dtype) for k, v in data.items()}
+                data[name] = stride(state["phi"][i])
 
         path = os.path.join(self._dir, f"step_{timestep:06d}.npz")
         tmp = path + ".tmp"
@@ -96,9 +102,7 @@ class SnapshotManager:
         for name, arr in data.items():
             a32 = np.ascontiguousarray(
                 np.transpose(arr, (2, 1, 0)), dtype=np.float32)  # VTK x-fast
-            raw = a32.tobytes()
-            payload = struct.pack("<I", len(raw)) + raw
-            b64 = base64.b64encode(payload).decode()
+            b64 = native.vtk_b64(a32)  # C++ encoder with python fallback
             arrays.append(
                 f'<DataArray type="Float32" Name="{name}" '
                 f'format="binary">{b64}</DataArray>')
