@@ -26,6 +26,16 @@ def main():
     n = int(os.environ.get("BENCH_N", "256"))
     n_iters = int(os.environ.get("BENCH_ITERS", "50"))
 
+    # persistent compilation cache: repeat runs skip the (remote) compile
+    try:
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/x3d2_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from x3d2_tpu.common import BC
     from x3d2_tpu.mesh import Mesh
     from x3d2_tpu.cases import SolverParams, TGVCase
