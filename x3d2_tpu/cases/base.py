@@ -74,9 +74,12 @@ class BaseCase:
         )
         nu = 1.0 / params.Re
         nu_species = tuple(nu / pr for pr in params.pr_species)
+        pmethod = {"FFT": "matmul", "CG": "cg"}.get(
+            params.poisson_solver_type.upper(), "matmul")
         self.solver = NavierStokes.build(mesh, nu, dtype=dtype,
                                          schemes=schemes,
-                                         nu_species=nu_species)
+                                         nu_species=nu_species,
+                                         poisson_method=pmethod)
         self.ti = TimeIntegrator(params.time_intg)
         self.dt = params.dt
         self.monitor = Monitor(self.solver, path=monitor_path,

@@ -64,6 +64,26 @@ class NavierStokes:
             poisson = MatmulPoisson(mesh, ops, dtype=dtype)
         elif poisson_method == "fft":
             poisson = SpectralPoisson(mesh, ops, dtype=dtype)
+        elif poisson_method == "cg":
+            # real preconditioned CG on the composite div(grad(.)) operator
+            # (the reference's 'CG' type is an unimplemented stub,
+            # solver.f90:680-691); preconditioned by the uniform-metric
+            # spectral solve so it handles any stretching
+            from .ops.cg_poisson import CGPoisson
+            from .ops.matmul_poisson import MatmulPoisson
+            ns0 = cls(mesh=mesh, ops=ops, nu=nu, dtype=dtype, poisson=None,
+                      nu_species=tuple(nu_species))
+            if any(mesh.stretched):
+                from .ops.dirops import build_all_ops as _bao
+                twin = Mesh(mesh.global_vert_dims, mesh.L, mesh.BCs)
+                pre = MatmulPoisson(twin, _bao(twin, dtype=dtype,
+                                               **schemes), dtype=dtype)
+            else:
+                pre = MatmulPoisson(mesh, ops, dtype=dtype)
+            tol = 1e-10 if dtype == jnp.float64 else 1e-6
+            poisson = CGPoisson(
+                lambda p: ns0.divergence_v2p(*ns0.gradient_p2v(p)),
+                precond=pre, tol=tol)
         else:
             raise ValueError(f"unknown poisson_method {poisson_method!r}")
         return cls(mesh=mesh, ops=ops, nu=nu, dtype=dtype, poisson=poisson,
