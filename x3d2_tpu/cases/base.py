@@ -115,6 +115,12 @@ class BaseCase:
     def postprocess(self, istep, t, state):
         self.monitor.write_step(t, state["u"], state["v"], state["w"])
 
+    def checkpoint_extra(self):
+        """Case-registered extra checkpoint state (reference
+        checkpoint_state_t hook, io/checkpoint_state.f90): dict of
+        name -> array persisted with checkpoints."""
+        return None
+
     # ------------------------------------------------------------------
     def initial_state(self):
         fields = self.initial_conditions()
@@ -216,6 +222,7 @@ class BaseCase:
             state = self.initial_state()
             self.postprocess(0, 0.0, state)
         t0 = _time.perf_counter()
+        t_rep = t0
         start = int(state["istep"])
         for it in range(start, start + n_iters):
             state = self._step(state)
@@ -224,6 +231,14 @@ class BaseCase:
                 io_manager.update_stats(state, it)
             if it % n_output == 0:
                 self.postprocess(it, t, state)
+                if self.monitor.verbose:
+                    # per-reported-step wall clock (base_case.f90:244-266)
+                    jax.block_until_ready(state["u"])
+                    now = _time.perf_counter()
+                    print(f"Time for this time step: "
+                          f"{(now - t_rep) / n_output * 1e3:.2f} ms "
+                          f"(iteration {it})")
+                    t_rep = now
             if io_manager is not None:
                 io_manager.handle_io_step(state, it, t)
         jax.block_until_ready(state["u"])

@@ -41,7 +41,8 @@ class IOManager:
         if self.checkpoint_mgr.should_checkpoint(timestep):
             self.checkpoint_mgr.write(
                 state, timestep, time, self.case.dt,
-                stats=self.stats_mgr.checkpoint_state())
+                stats=self.stats_mgr.checkpoint_state(),
+                extra=self.case.checkpoint_extra())
 
     def finalise(self, state, timestep, time):
         if (self.stats_mgr.is_active and self.stats_mgr.acc is not None

@@ -1,0 +1,116 @@
+"""Halo-exchange application of compact operators over a sharded axis.
+
+The explicit TPU analogue of the reference's DistD2 distributed
+tridiagonal algorithm (src/backend/omp/exec_dist.f90, theory.rst:386-416,
+arXiv:2411.13532): instead of each shard solving locally and exchanging a
+2x2 reduced interface system, we exploit the same diagonal-dominance
+property directly -- the resolved operator matrix M = A^-1 B decays
+exponentially off the diagonal, so each shard only needs a halo of `w`
+neighbour planes (w chosen so dropped entries are below the compute
+precision; w=32 gives ~1e-16 for the compact6 first derivative, matching
+the reference's own >=20-points-per-rank truncation assumption,
+tdsops.f90:196-201).
+
+Mechanics per shard (inside shard_map):
+  halo = ppermute of w edge planes from prev/next neighbours (the
+  reference's sendrecv_fields, omp/sendrecv.f90:10-36)
+  out  = M_rows[shard] @ concat(prev_halo, local, next_halo)
+with the per-shard row blocks of the *global* float64 operator sliced at
+setup, so the result is exact (up to truncation below epsilon) and
+identical to the unsharded dense apply.
+
+This is the comm-optimal alternative to letting GSPMD reduce-scatter full
+partial products; the default jit path remains GSPMD (parallel/topo.py),
+with this module providing the explicit-collective fast path and the
+parity demonstration tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.compact import CompactOp, PRECISION
+
+
+def shard_operator_blocks(op: CompactOp, n_shards: int, w: int = 32,
+                          dtype=None):
+    """Slice the global operator into per-shard row blocks with halo
+    columns: returns (n_shards, rows, local+2w) with periodic wrap or zero
+    padding at global boundaries."""
+    M = op.M64
+    n_out, n_in = M.shape
+    if n_out % n_shards or n_in % n_shards:
+        raise ValueError("operator dims must divide the shard count")
+    ro = n_out // n_shards
+    ci = n_in // n_shards
+    blocks = np.zeros((n_shards, ro, ci + 2 * w))
+    dropped = 0.0
+    for s in range(n_shards):
+        rows = M[s * ro:(s + 1) * ro]
+        cols = np.arange(s * ci - w, (s + 1) * ci + w)
+        if op.periodic:
+            blocks[s] = rows[:, cols % n_in]
+            # account for entries outside the halo window (truncated)
+            mask = np.ones(n_in, bool)
+            mask[cols % n_in] = False
+            dropped = max(dropped, np.abs(rows[:, mask]).max(initial=0.0))
+        else:
+            valid = (cols >= 0) & (cols < n_in)
+            blocks[s][:, valid] = rows[:, cols[valid]]
+            mask = np.ones(n_in, bool)
+            mask[cols[valid]] = False
+            dropped = max(dropped, np.abs(rows[:, mask]).max(initial=0.0))
+    scale = np.abs(M).max()
+    if dropped > 1e-7 * scale:
+        raise ValueError(
+            f"halo width {w} too small: truncated operator entries at "
+            f"{dropped / scale:.2e} of max (increase w)")
+    dtype = dtype or op.M.dtype
+    return jnp.asarray(blocks, dtype=dtype), dropped / scale
+
+
+def make_halo_apply(op: CompactOp, dmesh: DeviceMesh, mesh_axis: str,
+                    spatial_axis: int, w: int = 32):
+    """Build fn(f) applying `op` along a sharded spatial axis via
+    ppermute halo exchange inside shard_map. f is sharded on
+    (mesh_axis -> spatial_axis); x (axis 0) must be unsharded."""
+    n_shards = dmesh.shape[mesh_axis]
+    blocks, trunc = shard_operator_blocks(op, n_shards, w)
+    ns = n_shards
+
+    spec_in = [None, None, None]
+    spec_in[spatial_axis] = mesh_axis
+    fspec = P(*spec_in)
+    bspec = P(mesh_axis)  # blocks sharded over their leading axis
+
+    fwd = [(i, (i + 1) % ns) for i in range(ns)]
+    bwd = [(i, (i - 1) % ns) for i in range(ns)]
+
+    def local_fn(blk, f):
+        # f: local shard (full x, local y/z ...); blk: (1, ro, ci+2w)
+        blk = blk[0]
+        ax = spatial_axis
+        n_loc = f.shape[ax]
+        lo = jax.lax.slice_in_dim(f, 0, w, 1, ax)
+        hi = jax.lax.slice_in_dim(f, n_loc - w, n_loc, 1, ax)
+        # prev-neighbour's top edge arrives as our left halo
+        left = jax.lax.ppermute(hi, mesh_axis, fwd)
+        right = jax.lax.ppermute(lo, mesh_axis, bwd)
+        fext = jnp.concatenate([left, f, right], axis=ax)
+        sub = ["iyz->ayz", "xiz->xaz", "xyi->xya"][ax]
+        return jnp.einsum("ai," + sub, blk, fext, precision=PRECISION)
+
+    shard_fn = jax.shard_map(local_fn, mesh=dmesh,
+                             in_specs=(bspec, fspec), out_specs=fspec)
+    return lambda f: shard_fn(blocks, f)
+
+
+def halo_apply(op: CompactOp, f, dmesh: DeviceMesh, mesh_axis: str,
+               spatial_axis: int, w: int = 32):
+    return make_halo_apply(op, dmesh, mesh_axis, spatial_axis, w)(f)
