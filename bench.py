@@ -44,7 +44,7 @@ def main():
                 ((BC.PERIODIC, BC.PERIODIC),) * 3)
     params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3)
     case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
-                   verbose=False)
+                   verbose=False, keep_pressure=False)
     state = case.initial_state()
     # compile + warmup
     state = case._step(state)

@@ -50,6 +50,9 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     case = make_case(cfg, dtype, seed=args.seed)
+    # physical pressure only reconstructed when output requests it
+    case.keep_pressure = (cfg.checkpoint.has_output_field("pressure")
+                          or cfg.stats.initstat > 0)
     print(f"Flow case: {case.name}; grid {cfg.domain.dims_global}; "
           f"{cfg.solver.time_intg}, dt={cfg.solver.dt}, "
           f"Re={cfg.solver.Re}, {len(jax.devices())} device(s)")

@@ -59,12 +59,15 @@ class BaseCase:
 
     def __init__(self, mesh: Mesh, params: SolverParams, dtype=jnp.float32,
                  monitor_path: str | None = "monitoring.csv", verbose=True,
-                 seed: int = 0, case_cfg=None):
+                 seed: int = 0, case_cfg=None, keep_pressure=True):
         self.mesh = mesh
         self.params = params
         self.dtype = dtype
         self.seed = seed
         self.case_cfg = case_cfg
+        # reference solver_t%keep_pressure (solver.f90:61): physical
+        # pressure is only reconstructed when output needs it
+        self.keep_pressure = keep_pressure
         schemes = dict(
             der1st_scheme=params.der1st_scheme,
             der2nd_scheme=params.der2nd_scheme,
@@ -161,7 +164,8 @@ class BaseCase:
         """apply_BC -> IBM -> pressure_correction, one substage tail."""
         fields = self.apply_bc(fields, bc_data, gdt, istep)
         fields = self.body(fields)
-        u, v, w, p = self.solver.pressure_correction(*fields[:3])
+        u, v, w, p = self.solver.pressure_correction(
+            *fields[:3], keep_pressure=self.keep_pressure)
         return (u, v, w) + tuple(fields[3:]), p
 
     def step_fn(self, state):

@@ -86,8 +86,12 @@ class NavierStokes:
                 precond=pre, tol=tol)
         else:
             raise ValueError(f"unknown poisson_method {poisson_method!r}")
-        return cls(mesh=mesh, ops=ops, nu=nu, dtype=dtype, poisson=poisson,
-                   nu_species=tuple(nu_species))
+        ns = cls(mesh=mesh, ops=ops, nu=nu, dtype=dtype, poisson=poisson,
+                 nu_species=tuple(nu_species))
+        # build the transform-fused projection matrices eagerly -- creating
+        # device constants inside a jit trace would leak tracers
+        ns._fused_pressure_mats()
+        return ns
 
     # ------------------------------------------------------------------
     # transport equation RHS
@@ -218,11 +222,99 @@ class NavierStokes:
     # ------------------------------------------------------------------
     # pressure projection
     # ------------------------------------------------------------------
-    def pressure_correction(self, u, v, w):
+    def _fused_pressure_mats(self):
+        """Fold the matmul-Poisson spectral transforms into the staggered
+        divergence/gradient operator matrices: since both the transforms
+        and the div/grad stages are separable per-axis matrices, Tf@op and
+        op@Ti compose at setup, eliminating the six standalone transform
+        matmuls from the projection. Returns None when the Poisson is not
+        the matmul variant."""
+        from .ops.matmul_poisson import MatmulPoisson
+        if not isinstance(self.poisson, MatmulPoisson):
+            return None
+        if "_fp_cache" in self.__dict__:
+            return self._fp_cache
+        po = self.poisson
+        d = {}
+        f64 = [np.asarray(T, np.float64) for T in po.Tf]
+        i64 = [np.asarray(T, np.float64) for T in po.Ti]
+
+        def mk(M):
+            return jnp.asarray(M, self.dtype)
+
+        ox, oy, oz = self.ops
+        # divergence stages fused with forward transforms (per axis)
+        d["sx"] = mk(f64[0] @ ox.stagder_v2p.M64)
+        d["ix"] = mk(f64[0] @ ox.interpl_v2p.M64)
+        d["sy"] = mk(f64[1] @ oy.stagder_v2p.M64)
+        d["iy"] = mk(f64[1] @ oy.interpl_v2p.M64)
+        d["sz"] = mk(f64[2] @ oz.stagder_v2p.M64)
+        d["iz"] = mk(f64[2] @ oz.interpl_v2p.M64)
+        # gradient stages fused with inverse transforms
+        d["gz_i"] = mk(oz.interpl_p2v.M64 @ i64[2])
+        d["gz_s"] = mk(oz.stagder_p2v.M64 @ i64[2])
+        d["gy_i"] = mk(oy.interpl_p2v.M64 @ i64[1])
+        d["gy_s"] = mk(oy.stagder_p2v.M64 @ i64[1])
+        d["gx_i"] = mk(ox.interpl_p2v.M64 @ i64[0])
+        d["gx_s"] = mk(ox.stagder_p2v.M64 @ i64[0])
+        # row-stacked same-input pairs for the gradient z/y stages
+        # (numpy concat: jnp ops here would create tracers under jit that
+        # leak through the cache)
+        d["gz_is"] = mk(np.concatenate([oz.interpl_p2v.M64 @ i64[2],
+                                        oz.stagder_p2v.M64 @ i64[2]]))
+        d["gy_is"] = mk(np.concatenate([oy.interpl_p2v.M64 @ i64[1],
+                                        oy.stagder_p2v.M64 @ i64[1]]))
+        object.__setattr__(self, "_fp_cache", d)
+        return d
+
+    def pressure_correction(self, u, v, w, keep_pressure=True):
         """Fractional-step projection (solver.f90:693-739): returns the
         divergence-free velocity and the pseudo-pressure field (CELL grid,
-        scaled by dt like the reference; rescale p/dt only for output)."""
-        div_u = self.divergence_v2p(u, v, w)
-        p = self.poisson(div_u)
-        dpdx, dpdy, dpdz = self.gradient_p2v(p)
+        scaled by dt like the reference; rescale p/dt only for output).
+
+        With the matmul Poisson, the spectral transforms are folded into
+        the div/grad matrices (see _fused_pressure_mats). Reconstructing
+        physical p from the spectral solution costs three extra matmuls,
+        so like the reference (solver_t%keep_pressure, solver.f90:61) it
+        only happens when requested; otherwise the returned p is the
+        spectral-basis solution (fine for checkpoint round-trips, not for
+        visualisation)."""
+        d = self._fused_pressure_mats()
+        if d is None or self.poisson.stretch_solver is not None:
+            div_u = self.divergence_v2p(u, v, w)
+            p = self.poisson(div_u)
+            dpdx, dpdy, dpdz = self.gradient_p2v(p)
+            return u - dpdx, v - dpdy, w - dpdz, p
+
+        po = self.poisson
+        # divergence in the spectral basis (transform-fused stages)
+        du = apply_matrix(d["sx"], u, 0)
+        dv = apply_matrix(d["ix"], v, 0)
+        dw = apply_matrix(d["ix"], w, 0)
+        duv = apply_matrix(d["iy"], du, 1) + apply_matrix(d["sy"], dv, 1)
+        dw = apply_matrix(d["iy"], dw, 1)
+        F = (apply_matrix(d["iz"], duv, 2) + apply_matrix(d["sz"], dw, 2))
+        # spectral solve diagonal
+        q = F * po.inv_waves
+        # gradient from the spectral solution (inverse-transform-fused)
+        nzv = self.ops[2].interpl_p2v.n_out
+        both = apply_matrix(d["gz_is"], q, 2)
+        p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
+        dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
+        nyv = self.ops[1].interpl_p2v.n_out
+        both = apply_matrix(d["gy_is"], p_z, 1)
+        p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
+        dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
+        # every stage must consume its axis' inverse transform exactly once
+        dpdz = apply_matrix(d["gy_i"], dpdz, 1)
+        dpdx = apply_matrix(d["gx_s"], p_zy, 0)
+        dpdy = apply_matrix(d["gx_i"], dpdy, 0)
+        dpdz = apply_matrix(d["gx_i"], dpdz, 0)
+        if keep_pressure:
+            # physical pressure for output: inverse transforms of q
+            p = q
+            for a in range(3):
+                p = apply_matrix(po.Ti[a], p, a)
+        else:
+            p = q
         return u - dpdx, v - dpdy, w - dpdz, p
