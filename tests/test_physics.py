@@ -1,0 +1,59 @@
+"""Physics validation: energy budget identities on the TGV flow.
+
+For incompressible flow the skew-symmetric convection conserves energy,
+so dKE/dt = -2 nu E where E = 0.5<|curl u|^2> (enstrophy) -- the exact
+dissipation identity the reference's monitoring quantities are chosen to
+track (monitoring.f90, BASELINE KE-parity signal)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from x3d2_tpu.common import BC
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.cases import SolverParams, TGVCase
+from x3d2_tpu.io.monitoring import make_observables_fn
+
+
+def test_tgv_energy_budget():
+    n = 32
+    dt = 1e-3
+    mesh = Mesh((n, n, n), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="RK3", dt=dt)
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+    obs = make_observables_fn(case.solver)
+    state = case.initial_state()
+    o0 = {k: float(v) for k, v in
+          obs(state["u"], state["v"], state["w"]).items()}
+    nsteps = 20
+    state = case.run(n_iters=nsteps, state=state, n_output=10**9)
+    o1 = {k: float(v) for k, v in
+          obs(state["u"], state["v"], state["w"]).items()}
+
+    nu = 1.0 / 1600.0
+    dke_dt = (o1["ke"] - o0["ke"]) / (nsteps * dt)
+    e_mid = 0.5 * (o0["enstrophy"] + o1["enstrophy"])
+    expected = -2.0 * nu * e_mid
+    assert abs(dke_dt - expected) < 0.01 * abs(expected), (dke_dt, expected)
+    # initial enstrophy of the analytic TGV field is 3/8
+    assert abs(o0["enstrophy"] - 0.375) < 1e-6
+    # at early times enstrophy changes only slowly (production ~ t^2)
+    assert abs(o1["enstrophy"] - o0["enstrophy"]) < 1e-3 * o0["enstrophy"]
+    assert o1["ke"] < o0["ke"]
+
+
+def test_tgv_momentum_conservation():
+    """Periodic box: mean momentum is exactly conserved by the
+    skew-symmetric transport + projection."""
+    n = 24
+    mesh = Mesh((n, n, n), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB2", dt=1e-3)
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+    state = case.run(n_iters=10, state=case.initial_state(),
+                     n_output=10**9)
+    for k in ("u", "v", "w"):
+        assert abs(float(np.mean(np.asarray(state[k])))) < 1e-13, k
