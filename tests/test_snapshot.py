@@ -90,3 +90,25 @@ def test_stats_written_with_derived(tmp_path):
     # u' >= 0 everywhere; umean finite
     assert (z["uprime"] >= 0).all()
     assert np.isfinite(z["umean"]).all()
+
+
+def test_stats_pressure_and_species_moments(tmp_path):
+    """Pressure mean (keep_pressure) and species moments
+    (reference stats.f90:44-50)."""
+    os.chdir(tmp_path)
+    mesh = Mesh((12, 12, 12), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="RK2", dt=1e-3,
+                          n_species=1, pr_species=(1.0,))
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False, keep_pressure=True)
+    st = StatsConfig(initstat=1, istatfreq=1, istatout=3,
+                     stats_prefix=str(tmp_path / "sp"))
+    io = IOManager(case, CheckpointConfig(), st)
+    case.run(n_iters=3, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+    z = np.load(str(tmp_path / "sp_000003.npz"))
+    assert {"pmean", "phimean", "phiprime"} <= set(z.files)
+    assert z["phimean"].shape[0] == 1  # one species
+    assert np.isfinite(z["pmean"]).all()
+    assert (z["phiprime"] >= 0).all()

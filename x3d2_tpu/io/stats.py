@@ -27,11 +27,16 @@ MOMENTS = ("umean", "vmean", "wmean", "uumean", "vvmean", "wwmean",
 
 
 @partial(jax.jit, donate_argnums=0)
-def _accumulate(acc, u, v, w, count):
+def _accumulate(acc, u, v, w, count, p=None, phi=None):
     inc = 1.0 / count.astype(u.dtype)
     vals = {"umean": u, "vmean": v, "wmean": w,
             "uumean": u * u, "vvmean": v * v, "wwmean": w * w,
             "uvmean": u * v, "uwmean": u * w, "vwmean": v * w}
+    if p is not None:
+        vals["pmean"] = p
+    if phi is not None:
+        vals["phimean"] = phi
+        vals["phiphimean"] = phi * phi
     return {k: acc[k] + (vals[k] - acc[k]) * inc for k in acc}
 
 
@@ -45,8 +50,19 @@ class StatsManager:
         self.is_active = config.initstat > 0
         self.last_written = -1
 
-    def _init_acc(self, u):
-        self.acc = {k: jnp.zeros_like(u) for k in MOMENTS}
+    def _init_acc(self, state):
+        self.acc = {k: jnp.zeros_like(state["u"]) for k in MOMENTS}
+        # pressure mean when the case keeps physical pressure
+        # (reference stats.f90:44-45, gated on keep_pressure)
+        self._with_p = (getattr(self.case, "keep_pressure", False)
+                        and "p" in state)
+        if self._with_p:
+            self.acc["pmean"] = jnp.zeros_like(state["u"])
+        # species moments (stats.f90:47-50)
+        self._with_phi = "phi" in state
+        if self._with_phi:
+            self.acc["phimean"] = jnp.zeros_like(state["phi"])
+            self.acc["phiphimean"] = jnp.zeros_like(state["phi"])
 
     def should_accumulate(self, timestep):
         c = self.config
@@ -57,11 +73,16 @@ class StatsManager:
         if not self.should_accumulate(timestep):
             return
         if self.acc is None:
-            self._init_acc(state["u"])
+            self._init_acc(state)
         self.sample_count += 1
         cnt = jnp.asarray(float(self.sample_count), state["u"].dtype)
+        p = None
+        if self._with_p:
+            from ..postprocess import pressure_vert
+            p = pressure_vert(self.case.solver, state["p"], self.case.dt)
+        phi = state["phi"] if self._with_phi else None
         self.acc = _accumulate(self.acc, state["u"], state["v"], state["w"],
-                               cnt)
+                               cnt, p=p, phi=phi)
 
     def should_write(self, timestep):
         c = self.config
@@ -81,6 +102,12 @@ class StatsManager:
                    uvmean=a["uvmean"] - a["umean"] * a["vmean"],
                    uwmean=a["uwmean"] - a["umean"] * a["wmean"],
                    vwmean=a["vwmean"] - a["vmean"] * a["wmean"])
+        if "pmean" in a:
+            out["pmean"] = a["pmean"]
+        if "phimean" in a:
+            out["phimean"] = a["phimean"]
+            out["phiprime"] = np.sqrt(
+                np.maximum(0, a["phiphimean"] - a["phimean"] ** 2))
         path = f"{self.config.stats_prefix}_{timestep:06d}.npz"
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
@@ -104,5 +131,7 @@ class StatsManager:
             return
         self.sample_count = int(stats_dict["sample_count"])
         dtype = self.case.dtype
-        self.acc = {k: jnp.asarray(stats_dict[k], dtype) for k in MOMENTS
-                    if k in stats_dict}
+        self.acc = {k: jnp.asarray(v, dtype)
+                    for k, v in stats_dict.items() if k != "sample_count"}
+        self._with_p = "pmean" in self.acc
+        self._with_phi = "phimean" in self.acc
