@@ -91,6 +91,20 @@ class NavierStokes:
         # build the transform-fused projection matrices eagerly -- creating
         # device constants inside a jit trace would leak tracers
         ns._fused_pressure_mats()
+        # optional Pallas fused transeq (X3D2_PALLAS=1; TPU only): ~17%
+        # faster than the einsum path at 256^3 on v5e, same math to f32
+        # roundoff. The einsum path stays default pending round-2 banded
+        # tuning (see ops/pallas_transeq.py).
+        import os as _os
+        if _os.environ.get("X3D2_PALLAS"):
+            from .ops.pallas_transeq import (fused_transeq_supported,
+                                             make_fused_transeq)
+            from .common import DataLoc
+            shape = mesh.dims(DataLoc.VERT)
+            if fused_transeq_supported(ns, shape):
+                fns = tuple(make_fused_transeq(ns.ops[a], nu, a, shape)
+                            for a in range(3))
+                object.__setattr__(ns, "_pallas_transeq", fns)
         return ns
 
     # ------------------------------------------------------------------
@@ -120,6 +134,12 @@ class NavierStokes:
         application is a separate einsum -- measured faster on v5e than
         batching fields into stacked matmuls, whose materialised stacks
         cost more HBM traffic than the MXU efficiency gained."""
+        fns = getattr(self, "_pallas_transeq", None)
+        if fns is not None:
+            outs = [fns[a](u, v, w) for a in range(3)]
+            return tuple(outs[0][i] + outs[1][i] + outs[2][i]
+                         for i in range(3))
+
         comps = (u, v, w)
         prods = {}
 
