@@ -61,12 +61,15 @@ def main(argv=None):
     io_mgr = IOManager(case, cfg.checkpoint, cfg.stats)
 
     if args.mesh:
-        from .parallel import make_device_mesh, make_sharded_step
+        from .parallel import make_device_mesh, make_sharded_step, shard_state
         dmesh = make_device_mesh(args.mesh[0], args.mesh[1])
         step, state = make_sharded_step(case, dmesh)
         case._step = step
-        state = io_mgr.handle_restart(state)
-        case.run(state=state, io_manager=io_mgr)
+        restored = io_mgr.handle_restart(state)
+        if restored is not state:
+            # restart loads host arrays; re-place them on the device mesh
+            restored = shard_state(dmesh, restored)
+        case.run(state=restored, io_manager=io_mgr)
     else:
         state = io_mgr.handle_restart(case.initial_state())
         case.run(state=state, io_manager=io_mgr)

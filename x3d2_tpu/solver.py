@@ -91,12 +91,16 @@ class NavierStokes:
         # build the transform-fused projection matrices eagerly -- creating
         # device constants inside a jit trace would leak tracers
         ns._fused_pressure_mats()
-        # optional Pallas fused transeq (X3D2_PALLAS=1; TPU only): ~17%
-        # faster than the einsum path at 256^3 on v5e, same math to f32
-        # roundoff. The einsum path stays default pending round-2 banded
-        # tuning (see ops/pallas_transeq.py).
+        # Pallas fused transeq: default on TPU for supported shapes
+        # (uniform mesh, tileable extents) -- 22.6 -> 18.1 ms/step on the
+        # 256^3 TGV bench. Disable with X3D2_PALLAS=0; CPU runs always use
+        # the einsum path (no Mosaic backend).
         import os as _os
-        if _os.environ.get("X3D2_PALLAS"):
+        want = _os.environ.get("X3D2_PALLAS", "1") != "0"
+        dd = jax.config.jax_default_device
+        on_tpu = (jax.default_backend() == "tpu"
+                  and (dd is None or getattr(dd, "platform", "tpu") == "tpu"))
+        if want and on_tpu:
             from .ops.pallas_transeq import (fused_transeq_supported,
                                              make_fused_transeq)
             from .common import DataLoc
