@@ -175,7 +175,11 @@ def make_fused_transeq(ops_axis, nu, axis, shape,
 
 def fused_transeq_supported(solver, shape) -> bool:
     """The fused kernel handles uniform meshes (no stretch correction)
-    with tileable extents."""
+    with tileable extents. Sweeps longer than 384 points exceed the 16MB
+    scoped-VMEM budget with full-extent input tiles; the banded variant
+    (round-2) lifts this."""
+    if max(shape) > 384:
+        return False
     for axis in range(3):
         o = solver.ops[axis]
         corr = o.der2nd.stretch_correct
