@@ -8,7 +8,6 @@ jax device-mesh selection (--mesh Y Z shards over devices)."""
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

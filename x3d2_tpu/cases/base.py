@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import time as _time
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,7 +19,6 @@ key is also saved so stochastic BCs resume deterministically.
 from __future__ import annotations
 
 import glob
-import json
 import os
 
 import jax

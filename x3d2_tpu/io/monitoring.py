@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import csv
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,9 @@ from __future__ import annotations
 
 import base64
 import os
-import struct
 
 import numpy as np
 
-from ..common import DataLoc
 from . import native
 
 

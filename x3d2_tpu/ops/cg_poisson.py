@@ -17,7 +17,6 @@ iteration is a lax.while_loop inside the jitted step.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ omp/backend.f90:340-391) for every tdsops operator.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -17,7 +17,6 @@ handles layout), and each tds_solve becomes one MXU matmul (ops/compact.py).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Callable, Optional
 
 import jax
