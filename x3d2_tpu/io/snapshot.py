@@ -27,6 +27,12 @@ class SnapshotManager:
         self.verbose = verbose
         self.steps = []
         want = ["u", "v", "w"] + [f for f in config.output_fields if f]
+        # 'species' expands to phi_1..phi_N (reference io_field_utils
+        # species-name parsing, io_field_utils.f90:29-516)
+        if "species" in want:
+            want.remove("species")
+            want += [f"phi_{i + 1}"
+                     for i in range(case.params.n_species)]
         self.fields = want
         derived = [f for f in ("vort", "qcrit") if f in want]
         self._derived_fn = None
