@@ -175,10 +175,10 @@ def make_fused_transeq(ops_axis, nu, axis, shape,
 
 def fused_transeq_supported(solver, shape) -> bool:
     """The fused kernel handles uniform meshes (no stretch correction)
-    with tileable extents. Sweeps longer than 384 points exceed the 16MB
-    scoped-VMEM budget with full-extent input tiles; the banded variant
-    (round-2) lifts this."""
-    if max(shape) > 384:
+    with tileable extents. Sweeps longer than 256 points exceed the 16MB
+    scoped-VMEM budget with full-extent input tiles (measured: 384 needs
+    21.6MB); the banded variant (round-2) lifts this."""
+    if max(shape) > 256:
         return False
     for axis in range(3):
         o = solver.ops[axis]
