@@ -103,27 +103,24 @@ class MatmulPoisson:
             shape[a] = -1
             return np.asarray(v).reshape(shape)
 
-        waves = (ax3(k2[0], 0) * (ax3(T[1], 1) * ax3(T[2], 2)) ** 2
-                 + ax3(k2[1], 1) * (ax3(T[0], 0) * ax3(T[2], 2)) ** 2
-                 + ax3(k2[2], 2) * (ax3(T[0], 0) * ax3(T[1], 1)) ** 2)
-        waves = np.broadcast_to(waves, self.nc).copy()
+        # The solve diagonal -1/waves is an n^3 field, but it is separable
+        # in 1-D tables; keep only those as device constants and rebuild
+        # the diagonal on the fly inside the solve (XLA fuses it into the
+        # division). Embedding the n^3 array as a program constant costs
+        # n^3 HBM reads per step and blows up the serialized program
+        # (512MB at 512^3, beyond the remote-compile request limit).
+        wdt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        self._k2b = [jnp.asarray(ax3(k2[a], a), wdt) for a in range(3)]
+        self._Tb = [jnp.asarray(ax3(T[a], a), wdt) for a in range(3)]
 
-        # solve diagonal: -1/waves with singular-mode guard; extra Nyquist
-        # zeroing for folded variants (process_spectral_010:216 analogue)
-        ok = np.abs(waves) >= _EPS
-        inv = np.where(ok, -1.0 / np.where(ok, waves, 1.0), 0.0)
+        # Nyquist zero indices for folded variants
+        # (process_spectral_010:216 analogue)
+        self._zero_idx = None
         if self.folded:
             zero_axes = {"010": (0, 2), "100": (1, 2), "110": (0, 2)}[
                 self.variant]
-            idx = [slice(None)] * 3
-            good = True
-            for a in zero_axes:
-                if self.nc[a] % 2:
-                    good = False
-                idx[a] = self.nc[a] // 2
-            if good:
-                inv[tuple(idx)] = 0.0
-        self.inv_waves = jnp.asarray(inv, dtype=dtype)
+            if all(self.nc[a] % 2 == 0 for a in zero_axes):
+                self._zero_idx = zero_axes
 
         # per-axis transforms + exact inverses (float64 setup)
         self.Tf, self.Ti = [], []
@@ -149,6 +146,31 @@ class MatmulPoisson:
             self.stretch_solver = StretchedYSolver(a_sets, a_sets, offsets,
                                                    inc, dtype=dtype)
 
+    def _inv_waves(self):
+        """The solve diagonal -1/waves rebuilt on the fly from the 1-D
+        tables (fused by XLA into the division; avoids an n^3 program
+        constant and its per-step HBM reads)."""
+        k2, T = self._k2b, self._Tb
+        waves = (k2[0] * (T[1] * T[2]) ** 2
+                 + k2[1] * (T[0] * T[2]) ** 2
+                 + k2[2] * (T[0] * T[1]) ** 2)
+        ok = jnp.abs(waves) >= _EPS
+        inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
+        if self._zero_idx is not None:
+            # zero the (Nyquist, Nyquist) modes of the named axes
+            mask = jnp.ones((), inv.dtype)
+            for a in self._zero_idx:
+                shp = [1, 1, 1]
+                shp[a] = self.nc[a]
+                idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shp), a)
+                mask = mask * jnp.where(idx == self.nc[a] // 2, 0.0, 1.0)
+            inv = inv * mask
+        return inv.astype(self.rdtype)
+
+    @property
+    def inv_waves(self):
+        return self._inv_waves()
+
     def __call__(self, f: jax.Array) -> jax.Array:
         F = f
         for a in range(3):
@@ -156,7 +178,7 @@ class MatmulPoisson:
         if self.stretch_solver is not None:
             F = self.stretch_solver.solve_packed(F, self.nc[0], self.nc[2])
         else:
-            F = F * self.inv_waves
+            F = F * self._inv_waves()
         for a in range(3):
             F = apply_matrix(self.Ti[a], F, a)
         return F
