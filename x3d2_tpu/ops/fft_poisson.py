@@ -169,14 +169,13 @@ class SpectralPoisson:
             shape[a] = -1
             return np.asarray(v)[sl[a]].reshape(shape)
 
-        k2g = [ax3(k2_[a], a) for a in range(3)]
-        Tg = [ax3(T[a], a) for a in range(3)]
-        waves = (k2g[0] * (Tg[1] * Tg[2]) ** 2
-                 + k2g[1] * (Tg[0] * Tg[2]) ** 2
-                 + k2g[2] * (Tg[0] * Tg[1]) ** 2)
+        # keep only the separable 1-D tables as device constants; the n^3
+        # waves diagonal is rebuilt on the fly inside the solve (XLA fuses
+        # it) -- see matmul_poisson.py for the rationale (program-constant
+        # size and per-step HBM traffic)
         wdtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        self.waves = jnp.asarray(
-            np.broadcast_to(waves, self.spec_shape), dtype=wdtype)
+        self._k2b = [jnp.asarray(ax3(k2_[a], a), wdtype) for a in range(3)]
+        self._Tb = [jnp.asarray(ax3(T[a], a), wdtype) for a in range(3)]
 
         # phase-shift tables (broadcast) + sign-flip vectors; the r2c axis
         # never flips (half spectrum), folded axes use pair recombination
@@ -287,6 +286,15 @@ class SpectralPoisson:
         dc = jnp.concatenate([_slice_head(dc, a), new_c], axis=a)
         return dr, dc
 
+    @property
+    def waves(self):
+        """Spectral-equivalence diagonal rebuilt from the 1-D tables."""
+        k2, T = self._k2b, self._Tb
+        w = (k2[0] * (T[1] * T[2]) ** 2
+             + k2[1] * (T[0] * T[2]) ** 2
+             + k2[2] * (T[0] * T[1]) ** 2)
+        return jnp.broadcast_to(w, self.spec_shape)
+
     # ----------------------------------------------------------------------
     def __call__(self, f: jax.Array) -> jax.Array:
         """Solve the modified-wavenumber Poisson problem; mean-free output."""
@@ -306,7 +314,7 @@ class SpectralPoisson:
             dr, dc = self._shift_fwd(dr, dc, 1)
             dr, dc = self._shift_fwd(dr, dc, 0)
             w = self.waves
-            ok = w >= _EPS  # non-abs guard, process_spectral_000:69
+            ok = w >= _EPS  # non-abs guard (process_spectral_000:69)
             dr = jnp.where(ok, -dr / jnp.where(ok, w, 1.0), 0.0)
             dc = jnp.where(ok, -dc / jnp.where(ok, w, 1.0), 0.0)
             dr, dc = self._shift_bwd_conj(dr, dc, 2)
