@@ -100,14 +100,23 @@ class NavierStokes:
         on_tpu = (jax.default_backend() == "tpu"
                   and (dd is None or getattr(dd, "platform", "tpu") == "tpu"))
         if want and on_tpu:
-            from .ops.pallas_transeq import (fused_transeq_supported,
+            from .ops.pallas_transeq import (banded_transeq_supported,
+                                             fused_transeq_supported,
+                                             make_banded_transeq,
                                              make_fused_transeq)
             from .common import DataLoc
             shape = mesh.dims(DataLoc.VERT)
             if fused_transeq_supported(ns, shape):
+                # dense fused kernel: fastest for sweeps <= 256
                 fns = tuple(make_fused_transeq(ns.ops[a], nu, a, shape)
                             for a in range(3))
                 object.__setattr__(ns, "_pallas_transeq", fns)
+            elif banded_transeq_supported(ns, shape):
+                # banded fused kernel for larger sweeps (512^3: ~12% over
+                # the einsum path; half the matmul flops)
+                fns = tuple(make_banded_transeq(ns.ops[a], nu, a, shape)
+                            for a in range(3))
+                object.__setattr__(ns, "_banded_transeq", fns)
         return ns
 
     # ------------------------------------------------------------------
@@ -140,6 +149,12 @@ class NavierStokes:
         fns = getattr(self, "_pallas_transeq", None)
         if fns is not None:
             outs = [fns[a](u, v, w) for a in range(3)]
+            return tuple(outs[0][i] + outs[1][i] + outs[2][i]
+                         for i in range(3))
+        bfns = getattr(self, "_banded_transeq", None)
+        if bfns is not None:
+            from .ops.pallas_transeq import banded_transeq
+            outs = [banded_transeq(bfns[a], u, v, w, a) for a in range(3)]
             return tuple(outs[0][i] + outs[1][i] + outs[2][i]
                          for i in range(3))
 
