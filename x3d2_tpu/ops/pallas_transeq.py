@@ -402,3 +402,94 @@ def banded_transeq_supported(solver, shape, w=_BW, bs=128) -> bool:
         except ValueError:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Generic single-operator Pallas apply: the dense kernel machinery reused
+# for one (matrix, field) pair, optionally with a second stacked matrix on
+# the same input. Avoids the XLA transposes that einsum inserts for
+# axis-1/2 contractions; used by the projection stages on TPU.
+# ---------------------------------------------------------------------------
+
+
+def _apply_kernel(f_ref, m_ref, out_ref, *, axis, prec):
+    f = f_ref[...]
+    M = m_ref[...]
+    shape = f.shape
+    if axis == 0:
+        n = shape[0]
+        r = jax.lax.dot_general(
+            M, f.reshape(n, -1), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f.dtype, precision=prec)
+        out_ref[...] = r.reshape((M.shape[0],) + shape[1:]).astype(
+            out_ref.dtype)
+    elif axis == 2:
+        r = jax.lax.dot_general(
+            f, M, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=f.dtype, precision=prec)
+        out_ref[...] = r.astype(out_ref.dtype)
+    else:
+        rows = [jax.lax.dot_general(
+            M, f[i], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f.dtype, precision=prec)[None]
+            for i in range(shape[0])]
+        out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
+
+
+def make_pallas_apply(M, axis, shape_in, n_out=None,
+                      precision=jax.lax.Precision.HIGHEST, interpret=False):
+    """fn(f) applying M (n_out, n_in) along `axis` of f (shape_in)."""
+    n_in = shape_in[axis]
+    n_out = n_out or M.shape[0]
+    if M.shape != (n_out, n_in):
+        raise ValueError("matrix/shape mismatch")
+    other = [a for a in range(3) if a != axis]
+    free = {0: (8, 128), 1: (8, 128), 2: (8, 128)}[axis]
+    t0, t1 = free
+    if shape_in[other[0]] % t0 or shape_in[other[1]] % t1:
+        raise ValueError("shape not tileable")
+    bs = _pick_bs(axis, n_out)
+    if bs is None or n_out % bs or n_in > 512:
+        raise ValueError("unsupported sizes for pallas apply")
+
+    in_blk = [0, 0, 0]
+    in_blk[axis] = n_in
+    in_blk[other[0]] = t0
+    in_blk[other[1]] = t1
+    out_blk = list(in_blk)
+    out_blk[axis] = bs
+    shape_out = list(shape_in)
+    shape_out[axis] = n_out
+
+    def in_map(i, j, b):
+        idx = [0, 0, 0]
+        idx[other[0]] = i
+        idx[other[1]] = j
+        return tuple(idx)
+
+    def out_map(i, j, b):
+        idx = [0, 0, 0]
+        idx[axis] = b
+        idx[other[0]] = i
+        idx[other[1]] = j
+        return tuple(idx)
+
+    grid = (shape_in[other[0]] // t0, shape_in[other[1]] // t1, n_out // bs)
+    kern = functools.partial(_apply_kernel, axis=axis, prec=precision)
+    Md = jnp.asarray(M)
+
+    def fn(f):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[pl.BlockSpec(tuple(in_blk), in_map,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((bs, n_in), lambda i, j, b: (b, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(tuple(out_blk), out_map,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(tuple(shape_out), f.dtype),
+            interpret=interpret,
+        )(f, Md)
+
+    return fn

@@ -87,18 +87,24 @@ class NavierStokes:
             raise ValueError(f"unknown poisson_method {poisson_method!r}")
         ns = cls(mesh=mesh, ops=ops, nu=nu, dtype=dtype, poisson=poisson,
                  nu_species=tuple(nu_species))
-        # build the transform-fused projection matrices eagerly -- creating
-        # device constants inside a jit trace would leak tracers
-        ns._fused_pressure_mats()
-        # Pallas fused transeq: default on TPU for supported shapes
-        # (uniform mesh, tileable extents) -- 22.6 -> 18.1 ms/step on the
-        # 256^3 TGV bench. Disable with X3D2_PALLAS=0; CPU runs always use
-        # the einsum path (no Mosaic backend).
+        # Pallas kernels: default on TPU for supported shapes; disable with
+        # X3D2_PALLAS=0. CPU runs always use the einsum paths.
         import os as _os
         want = _os.environ.get("X3D2_PALLAS", "1") != "0"
         dd = jax.config.jax_default_device
         on_tpu = (jax.default_backend() == "tpu"
                   and (dd is None or getattr(dd, "platform", "tpu") == "tpu"))
+        # Projection matmuls stay on the einsum path: Mosaic only lowers
+        # DEFAULT/HIGHEST dot precisions, and pallas-apply at HIGHEST
+        # (bf16x6) measured slower (20.3 ms/step) than einsum at HIGH
+        # (bf16x3, 17.0 ms/step) despite saving the axis-1/2 transposes.
+        # Opt-in for experimentation via X3D2_PALLAS_APPLY=1.
+        object.__setattr__(
+            ns, "_use_pallas_apply",
+            want and on_tpu and bool(_os.environ.get("X3D2_PALLAS_APPLY")))
+        # build the transform-fused projection matrices eagerly -- creating
+        # device constants inside a jit trace would leak tracers
+        ns._fused_pressure_mats()
         if want and on_tpu:
             from .ops.pallas_transeq import (banded_transeq_supported,
                                              fused_transeq_supported,
@@ -302,6 +308,36 @@ class NavierStokes:
                                         oz.stagder_p2v.M64 @ i64[2]]))
         d["gy_is"] = mk(np.concatenate([oy.interpl_p2v.M64 @ i64[1],
                                         oy.stagder_p2v.M64 @ i64[1]]))
+
+        # On TPU, wrap the projection matmuls in the generic Pallas apply
+        # (avoids the XLA transposes einsum inserts for axis-1/2
+        # contractions); einsum remains the fallback for non-tileable
+        # shapes and CPU.
+        if getattr(self, "_use_pallas_apply", False):
+            from .common import DataLoc
+            from .ops.pallas_transeq import make_pallas_apply
+            nv = self.mesh.dims(DataLoc.VERT)
+            nc = self.mesh.dims(DataLoc.CELL)
+            sh_x = (nc[0], nv[1], nv[2])   # after the div x stage
+            sh_xy = (nc[0], nc[1], nv[2])  # after the div y stage
+            sh_pz = (nc[0], nc[1], nv[2])  # gradient z-stage output half
+            stages = [
+                ("sx", 0, nv), ("ix", 0, nv),
+                ("iy", 1, sh_x), ("sy", 1, sh_x),
+                ("iz", 2, sh_xy), ("sz", 2, sh_xy),
+                ("gz_is", 2, nc),
+                ("gy_is", 1, sh_pz), ("gy_i", 1, sh_pz),
+                ("gx_s", 0, (nc[0], nv[1], nv[2])),
+                ("gx_i", 0, (nc[0], nv[1], nv[2])),
+            ]
+            for name, axis, shp in stages:
+                try:
+                    M = d[name]
+                    d["app_" + name] = make_pallas_apply(
+                        np.asarray(M), axis, tuple(shp),
+                        n_out=M.shape[0])
+                except ValueError:
+                    pass
         object.__setattr__(self, "_fp_cache", d)
         return d
 
@@ -325,29 +361,33 @@ class NavierStokes:
             return u - dpdx, v - dpdy, w - dpdz, p
 
         po = self.poisson
+        def ap(name, t, axis):
+            f = d.get("app_" + name)
+            return f(t) if f is not None else apply_matrix(d[name], t, axis)
+
         # divergence in the spectral basis (transform-fused stages)
-        du = apply_matrix(d["sx"], u, 0)
-        dv = apply_matrix(d["ix"], v, 0)
-        dw = apply_matrix(d["ix"], w, 0)
-        duv = apply_matrix(d["iy"], du, 1) + apply_matrix(d["sy"], dv, 1)
-        dw = apply_matrix(d["iy"], dw, 1)
-        F = (apply_matrix(d["iz"], duv, 2) + apply_matrix(d["sz"], dw, 2))
+        du = ap("sx", u, 0)
+        dv = ap("ix", v, 0)
+        dw = ap("ix", w, 0)
+        duv = ap("iy", du, 1) + ap("sy", dv, 1)
+        dw = ap("iy", dw, 1)
+        F = ap("iz", duv, 2) + ap("sz", dw, 2)
         # spectral solve diagonal
         q = F * po.inv_waves
         # gradient from the spectral solution (inverse-transform-fused)
         nzv = self.ops[2].interpl_p2v.n_out
-        both = apply_matrix(d["gz_is"], q, 2)
+        both = ap("gz_is", q, 2)
         p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
         dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
         nyv = self.ops[1].interpl_p2v.n_out
-        both = apply_matrix(d["gy_is"], p_z, 1)
+        both = ap("gy_is", p_z, 1)
         p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
         dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
         # every stage must consume its axis' inverse transform exactly once
-        dpdz = apply_matrix(d["gy_i"], dpdz, 1)
-        dpdx = apply_matrix(d["gx_s"], p_zy, 0)
-        dpdy = apply_matrix(d["gx_i"], dpdy, 0)
-        dpdz = apply_matrix(d["gx_i"], dpdz, 0)
+        dpdz = ap("gy_i", dpdz, 1)
+        dpdx = ap("gx_s", p_zy, 0)
+        dpdy = ap("gx_i", dpdy, 0)
+        dpdz = ap("gx_i", dpdz, 0)
         if keep_pressure:
             # physical pressure for output: inverse transforms of q
             p = q
