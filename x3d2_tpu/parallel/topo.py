@@ -85,6 +85,12 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
     shardings come out identical (verified by tests/test_sharding.py)."""
     if state is None:
         state = case.initial_state()
+    # Pallas kernels are single-device programs: under GSPMD they would
+    # need manual partitioning (shard_map-wrapped kernels, planned), so the
+    # sharded step falls back to the einsum paths.
+    for attr in ("_pallas_transeq", "_banded_transeq"):
+        if getattr(case.solver, attr, None) is not None:
+            object.__setattr__(case.solver, attr, None)
     sh = state_shardings(dmesh, state)
     if pin_shardings is None:
         pin_shardings = dmesh.devices.flat[0].platform != "cpu"
