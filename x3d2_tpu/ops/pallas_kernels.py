@@ -1,0 +1,531 @@
+"""Pallas v2 kernels: bf16x3 fused transeq + single-operator applies.
+
+TPU analogue of the reference's fused CUDA transeq kernel
+(transeq_3fused_dist, src/backend/cuda/kernels/distributed.f90:196-685):
+one pass per direction over (u, v, w) computes all nine compact-operator
+applications and the skew-symmetric combine
+
+    rhs_c = -0.5*(conv*D1_c q_c + D1d_c (q_c*conv)) + nu*D2_c q_c
+
+without materialising intermediates in HBM.
+
+Two v2 improvements over pallas_transeq.py:
+
+1. **Manual bf16x3 ("HIGH") matmuls.** Mosaic only lowers DEFAULT (1 bf16
+   pass) and HIGHEST (bf16x6) dot precisions; v1 kernels paid bf16x6.
+   Splitting each f32 operand into hi+lo bfloat16 parts and taking the
+   three significant cross products reproduces XLA's Precision.HIGH
+   (~1e-7 relative error) at 2x the v1 MXU throughput. Matrices are
+   pre-split host-side; fields are split once per tile in-kernel.
+
+2. **Parametric banded blocks (bs, w).** The resolved operators decay
+   exponentially off the diagonal (ops/compact.py), so an output block of
+   bs rows only reads a window of bs+2w input planes. compact6-family
+   decay reaches f32 epsilon by w=32 (guarded by banded_blocks'
+   truncation check), so non-lane axes run (bs=64, w=32): a single
+   128-wide MXU K tile per dot instead of v1's 256 — half the flops.
+   The lane axis (axis 2) keeps bs=128 (last-dim tiling rule) with
+   window 256. Fields are pre-rolled by +w so the window is covered by
+   two aligned blocks; du/d2u rows are stacked into one (2bs, win) dot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_transeq import banded_blocks
+
+_BF = jnp.bfloat16
+
+
+def split_hi_lo(M: np.ndarray):
+    """Host-side f32 -> (hi, lo) bfloat16 split (numpy)."""
+    M32 = np.asarray(M, np.float32)
+    hi = M32.astype(jnp.bfloat16)
+    lo = (M32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+def _split(x):
+    """In-kernel f32 -> (hi, lo) bf16 split."""
+    hi = x.astype(_BF)
+    lo = (x - hi.astype(x.dtype)).astype(_BF)
+    return hi, lo
+
+
+def _dot3(Mh, Ml, xh, xl, dn, prec=jax.lax.Precision.DEFAULT):
+    """bf16x3 contraction: (Mh+Ml) @ (xh+xl) dropping the lo*lo term.
+    Equivalent to one Precision.HIGH f32 dot; 3 full-rate MXU passes."""
+    acc = jax.lax.dot_general(Mh, xh, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    acc += jax.lax.dot_general(Mh, xl, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+    acc += jax.lax.dot_general(Ml, xh, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+    return acc
+
+
+def _contract3(Mh, Ml, xh, xl, axis, bs_out):
+    """Apply a (rows, win) matrix along `axis` of a 3-D tile via bf16x3.
+    x is given as hi/lo with `win` extent along axis."""
+    dn_l = (((1,), (0,)), ((), ()))   # M @ flat
+    if axis == 0:
+        sh = xh.shape
+        r = _dot3(Mh, Ml, xh.reshape(sh[0], -1), xl.reshape(sh[0], -1), dn_l)
+        return r.reshape((Mh.shape[0],) + sh[1:])
+    if axis == 2:
+        dn = (((2,), (1,)), ((), ()))  # f @ M^T, contract lane dim
+        return _dot3(xh, xl, Mh, Ml, dn)
+    # axis == 1: unroll the (small) leading dim; 2-D dots avoid in-kernel
+    # 3-D transposes which Mosaic handles poorly
+    rows = [_dot3(Mh, Ml, xh[i], xl[i], dn_l)[None]
+            for i in range(xh.shape[0])]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _transeq_kernel(ua_ref, ub_ref, va_ref, vb_ref, wa_ref, wb_ref,
+                    sa_h_ref, sa_l_ref, st_h_ref, st_l_ref,
+                    da_h_ref, da_l_ref, dt_h_ref, dt_l_ref,
+                    du_ref, dv_ref, dw_ref, *, axis, nu, w, bs):
+    """One direction sweep, all three components.
+
+    Field inputs arrive as two aligned blocks (a=block b, b=block b+1) of
+    the +w-rolled arrays; the window is concat(a, b[:2w]). Matrices:
+    sa/st = row-stacked (der1st; der2nd) for aligned/transverse roles
+    (nb, 2bs, win), fully VMEM-resident (index maps constant — no per-step
+    DMA); da/dt = der-of-product matrices (nb, bs, win). _h/_l are the
+    bf16 hi/lo parts. Operator roles per component follow
+    transeq_omp_dist (reference omp/backend.f90:235-262)."""
+    outs = (du_ref, dv_ref, dw_ref)
+    b = pl.program_id(2)
+
+    def window(a_ref, b_ref):
+        a = a_ref[...]
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, 2 * w)
+        b_ = b_ref[tuple(sl)]
+        return jnp.concatenate([a, b_], axis=axis)
+
+    uw = window(ua_ref, ub_ref)
+    vw = window(va_ref, vb_ref)
+    ww = window(wa_ref, wb_ref)
+    wins = (uw, vw, ww)
+    convw = wins[axis]
+    # unrolled conv block: rolled window indices [w, w+bs)
+    sl = [slice(None)] * 3
+    sl[axis] = slice(w, w + bs)
+    conv = convw[tuple(sl)]
+
+    sa_h, sa_l = sa_h_ref[b], sa_l_ref[b]
+    st_h, st_l = st_h_ref[b], st_l_ref[b]
+    da_h, da_l = da_h_ref[b], da_l_ref[b]
+    dt_h, dt_l = dt_h_ref[b], dt_l_ref[b]
+
+    for c in range(3):
+        q = wins[c]
+        qh, ql = _split(q)
+        p = q * convw
+        ph, pl_ = _split(p)
+        if c == axis:
+            Sh, Sl, Dh, Dl = sa_h, sa_l, da_h, da_l
+        else:
+            Sh, Sl, Dh, Dl = st_h, st_l, dt_h, dt_l
+        stacked = _contract3(Sh, Sl, qh, ql, axis, bs)   # (2bs,) rows
+        sl1 = [slice(None)] * 3
+        sl1[axis] = slice(0, bs)
+        sl2 = [slice(None)] * 3
+        sl2[axis] = slice(bs, 2 * bs)
+        dq = stacked[tuple(sl1)]
+        d2q = stacked[tuple(sl2)]
+        dqd = _contract3(Dh, Dl, ph, pl_, axis, bs)
+        outs[c][...] = (-0.5 * (conv * dq + dqd) + nu * d2q).astype(
+            outs[c].dtype)
+
+
+def _free_dims(axis):
+    """Default in-tile extents of the two non-sweep axes. Larger tiles
+    amortise MXU issue latency over a bigger batch; bounded by VMEM."""
+    return {0: (16, 128), 1: (16, 128), 2: (8, 128)}[axis]
+
+
+_BAND_TOL = 1e-6  # bf16x3 matmul noise (~1e-5) dominates this truncation
+
+
+def _stack_banded(op_pair, w, bs):
+    """Row-stack two ops' banded blocks: (nb, 2bs, bs+2w) float64."""
+    b1 = banded_blocks(op_pair[0], w, bs, tol=_BAND_TOL)
+    b2 = banded_blocks(op_pair[1], w, bs, tol=_BAND_TOL)
+    return np.concatenate([b1, b2], axis=1)
+
+
+def make_banded_transeq_v2(ops_axis, nu, axis, shape, w=None, bs=None,
+                           free=None, interpret=False):
+    """Build fn(u, v, w) -> (du, dv, dw) for one banded direction sweep
+    with bf16x3 matmuls. Defaults: (bs=64, w=32) on axes 0/1; (bs=128,
+    w=64) on the lane axis (last-dim block rule)."""
+    n = shape[axis]
+    if bs is None:
+        bs = 128 if axis == 2 else 64
+    if w is None:
+        w = bs // 2
+    if 2 * w > bs:
+        raise ValueError("banded window needs w <= bs/2 (two-block cover)")
+    if n % bs or n < bs + 2 * w:
+        raise ValueError(f"n={n} not tileable with bs={bs}, w={w}")
+    nb = n // bs
+
+    d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
+    d2, d2s = ops_axis.der2nd, ops_axis.der2nd_sym
+    # aligned component: (der1st, der2nd) stacked + der1st_sym for d(uq)
+    # transverse: (der1st_sym, der2nd_sym) stacked + der1st for d(uq)
+    sa = _stack_banded((d1, d2), w, bs)
+    st = _stack_banded((d1s, d2s), w, bs)
+    da = banded_blocks(d1s, w, bs)
+    dt = banded_blocks(d1, w, bs)
+    mats = []
+    for M in (sa, st, da, dt):
+        hi, lo = split_hi_lo(M)
+        mats += [jnp.asarray(hi), jnp.asarray(lo)]
+
+    other = [a for a in range(3) if a != axis]
+    t0, t1 = free if free is not None else _free_dims(axis)
+    if shape[other[0]] % t0 or shape[other[1]] % t1:
+        raise ValueError(f"shape {shape} free dims not tileable")
+
+    blk = [0, 0, 0]
+    blk[axis] = bs
+    blk[other[0]] = t0
+    blk[other[1]] = t1
+
+    def mk_map(shift):
+        def index_map(i, j, b):
+            idx = [0, 0, 0]
+            idx[axis] = (b + shift) % nb if shift else b
+            idx[other[0]] = i
+            idx[other[1]] = j
+            return tuple(idx)
+        return index_map
+
+    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
+    spec_a = pl.BlockSpec(tuple(blk), mk_map(0), memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec(tuple(blk), mk_map(1), memory_space=pltpu.VMEM)
+    win = bs + 2 * w
+    # matrices are small: keep ALL blocks VMEM-resident (constant index
+    # map) so the inner grid dimension issues no matrix DMAs
+    sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((nb, bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_transeq_kernel, axis=axis, nu=float(nu),
+                             w=w, bs=bs)
+    fspec = pl.BlockSpec(tuple(blk), mk_map(0), memory_space=pltpu.VMEM)
+
+    flops = 3 * (3 * bs) * win * int(np.prod(shape)) // bs * 2 * 3
+    cost = pl.CostEstimate(flops=flops,
+                           bytes_accessed=9 * int(np.prod(shape)) * 4,
+                           transcendentals=0)
+
+    def fn(u, v, w_):
+        """u, v, w_ are the +w-rolled fields."""
+        out_shape = [jax.ShapeDtypeStruct(u.shape, u.dtype)] * 3
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[spec_a, spec_b] * 3 + [sspec] * 4 + [dspec] * 4,
+            out_specs=[fspec] * 3,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(u, u, v, v, w_, w_, *mats)
+
+    roll_w = w
+
+    def apply(u, v, w_):
+        # Rolling by +w makes each output block's window equal two aligned
+        # blocks of the rolled array; the banded matrix rows are in
+        # original coordinates, so outputs need no roll-back.
+        rolled = tuple(jnp.roll(q, roll_w, axis=axis) for q in (u, v, w_))
+        return fn(*rolled)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# v3: roll-free 3-stream windows + cross-direction accumulation.
+#
+# For non-lane axes the window [bs*b - w, bs*b + bs + w) is fetched as
+# three aligned streams: a w-plane "left" block, the bs-plane mid block
+# and a w-plane "right" block (block sizes may differ per stream; index
+# maps are in units of each stream's own block size). With w=16 this cuts
+# the field read traffic from 2x (two-aligned-block cover) to 1.25-1.5x
+# and needs no jnp.roll pre-pass. The lane axis keeps the rolled
+# two-stream cover (lane blocks must be 128-multiples).
+#
+# `accumulate=True` aliases three accumulator inputs onto the outputs
+# (donated in-place add), so summing the three direction sweeps costs no
+# extra HBM passes — the analogue of the reference's sum_yintox/zintox
+# (src/backend/backend.f90, cuda/kernels/reorder.f90:257-316) without
+# materialising per-direction partials.
+# ---------------------------------------------------------------------------
+
+
+def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate):
+    """refs layout: [acc_u, acc_v, acc_w]? + nstream blocks per field * 3
+    + 8 matrix refs + 3 outputs."""
+    i = 0
+    accs = None
+    if accumulate:
+        accs = refs[:3]
+        i = 3
+    fields = []
+    for _ in range(3):
+        fields.append(refs[i:i + nstream])
+        i += nstream
+    (sa_h_ref, sa_l_ref, st_h_ref, st_l_ref,
+     da_h_ref, da_l_ref, dt_h_ref, dt_l_ref) = refs[i:i + 8]
+    outs = refs[i + 8:i + 11]
+    b = pl.program_id(2)
+
+    def window(parts):
+        if nstream == 2:
+            a_ref, b_ref = parts
+            sl = [slice(None)] * 3
+            sl[axis] = slice(0, 2 * w)
+            return jnp.concatenate([a_ref[...], b_ref[tuple(sl)]],
+                                   axis=axis), None
+        l_ref, m_ref, r_ref = parts
+        mid = m_ref[...]
+        return jnp.concatenate([l_ref[...], mid, r_ref[...]],
+                               axis=axis), mid
+
+    wins, mids = [], []
+    for f in fields:
+        wv, mv = window(f)
+        wins.append(wv)
+        mids.append(mv)
+    convw = wins[axis]
+    if nstream == 2:
+        sl = [slice(None)] * 3
+        sl[axis] = slice(w, w + bs)
+        conv = convw[tuple(sl)]
+    else:
+        conv = mids[axis]
+
+    sa_h, sa_l = sa_h_ref[b], sa_l_ref[b]
+    st_h, st_l = st_h_ref[b], st_l_ref[b]
+    da_h, da_l = da_h_ref[b], da_l_ref[b]
+    dt_h, dt_l = dt_h_ref[b], dt_l_ref[b]
+
+    for c in range(3):
+        q = wins[c]
+        qh, ql = _split(q)
+        p = q * convw
+        ph, pl_ = _split(p)
+        if c == axis:
+            Sh, Sl, Dh, Dl = sa_h, sa_l, da_h, da_l
+        else:
+            Sh, Sl, Dh, Dl = st_h, st_l, dt_h, dt_l
+        stacked = _contract3(Sh, Sl, qh, ql, axis, bs)
+        sl1 = [slice(None)] * 3
+        sl1[axis] = slice(0, bs)
+        sl2 = [slice(None)] * 3
+        sl2[axis] = slice(bs, 2 * bs)
+        dq = stacked[tuple(sl1)]
+        d2q = stacked[tuple(sl2)]
+        dqd = _contract3(Dh, Dl, ph, pl_, axis, bs)
+        r = -0.5 * (conv * dq + dqd) + nu * d2q
+        if accumulate:
+            r = r + accs[c][...]
+        outs[c][...] = r.astype(outs[c].dtype)
+
+
+def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
+                        free=None, accumulate=False, interpret=False):
+    """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
+
+    Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
+    Axis 2: rolled 2-stream windows (default bs=128, w=64)."""
+    n = shape[axis]
+    lane = axis == 2
+    if bs is None:
+        bs = 128 if lane else 64
+    if w is None:
+        w = 64 if lane else 16
+    nstream = 2 if lane else 3
+    if lane and 2 * w > bs:
+        raise ValueError("lane axis needs w <= bs/2")
+    if not lane and bs % w:
+        raise ValueError("3-stream windows need w | bs")
+    if n % bs or n < bs + 2 * w:
+        raise ValueError(f"n={n} not tileable with bs={bs}, w={w}")
+    nb = n // bs
+
+    d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
+    d2, d2s = ops_axis.der2nd, ops_axis.der2nd_sym
+    sa = _stack_banded((d1, d2), w, bs)
+    st = _stack_banded((d1s, d2s), w, bs)
+    da = banded_blocks(d1s, w, bs, tol=_BAND_TOL)
+    dt = banded_blocks(d1, w, bs, tol=_BAND_TOL)
+    mats = []
+    for M in (sa, st, da, dt):
+        hi, lo = split_hi_lo(M)
+        mats += [jnp.asarray(hi), jnp.asarray(lo)]
+
+    other = [a for a in range(3) if a != axis]
+    t0, t1 = free if free is not None else _free_dims(axis)
+    if shape[other[0]] % t0 or shape[other[1]] % t1:
+        raise ValueError(f"shape {shape} free dims not tileable")
+
+    def blk_of(extent):
+        blk = [0, 0, 0]
+        blk[axis] = extent
+        blk[other[0]] = t0
+        blk[other[1]] = t1
+        return tuple(blk)
+
+    def map_of(fn_ax):
+        def index_map(i, j, b):
+            idx = [0, 0, 0]
+            idx[axis] = fn_ax(b)
+            idx[other[0]] = i
+            idx[other[1]] = j
+            return tuple(idx)
+        return index_map
+
+    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
+    out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                            memory_space=pltpu.VMEM)
+    if lane:
+        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
+                               memory_space=pltpu.VMEM)]
+    else:
+        r = bs // w
+        nw = n // w
+        fspecs = [
+            pl.BlockSpec(blk_of(w), map_of(lambda b: (b * r - 1) % nw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(w), map_of(lambda b: ((b + 1) * r) % nw),
+                         memory_space=pltpu.VMEM),
+        ]
+    win = bs + 2 * w
+    sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((nb, bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_transeq_kernel_v3, axis=axis, nu=float(nu),
+                             w=w, bs=bs, nstream=nstream,
+                             accumulate=accumulate)
+
+    in_specs = ([out_spec] * 3 if accumulate else []) \
+        + fspecs * 3 + [sspec] * 4 + [dspec] * 4
+    aliases = {0: 0, 1: 1, 2: 2} if accumulate else {}
+
+    def fn(u, v, w_, acc=None):
+        if lane:
+            u, v, w_ = (jnp.roll(q, w, axis=axis) for q in (u, v, w_))
+        field_args = []
+        for q in (u, v, w_):
+            field_args += [q] * nstream
+        args = (list(acc) if accumulate else []) + field_args + mats
+        out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * 3
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out_spec] * 3,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*args)
+
+    return fn
+
+
+def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False):
+    """Full transeq: three accumulated direction sweeps.
+    fn(u, v, w) -> (du, dv, dw) summed over directions."""
+    cfgs = cfgs or {}
+    d2 = make_transeq_dir_v3(solver_ops[2], nu, 2, shape,
+                             accumulate=False, interpret=interpret,
+                             **cfgs.get(2, {}))
+    d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape,
+                             accumulate=True, interpret=interpret,
+                             **cfgs.get(0, {}))
+    d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape,
+                             accumulate=True, interpret=interpret,
+                             **cfgs.get(1, {}))
+
+    def fn(u, v, w):
+        acc = d2(u, v, w)
+        acc = d0(u, v, w, acc=acc)
+        acc = d1(u, v, w, acc=acc)
+        return acc
+
+    return fn
+
+
+def transeq_v3_supported(solver, shape) -> bool:
+    """Uniform mesh, square ops, extents tileable per-axis (v3 defaults)."""
+    for axis in range(3):
+        o = solver.ops[axis]
+        corr = o.der2nd.stretch_correct
+        if corr is not None and np.any(corr):
+            return False
+        n = shape[axis]
+        lane = axis == 2
+        bs = 128 if lane else 64
+        w = 64 if lane else 16
+        if n % bs or n < bs + 2 * w:
+            return False
+        other = [a for a in range(3) if a != axis]
+        t0, t1 = _free_dims(axis)
+        if shape[other[0]] % t0 or shape[other[1]] % t1:
+            return False
+        if o.der1st.n_out != n or o.der1st.n_in != n:
+            return False
+        try:
+            for op in (o.der1st, o.der1st_sym, o.der2nd, o.der2nd_sym):
+                banded_blocks(op, w, bs, tol=_BAND_TOL)
+        except ValueError:
+            return False
+    return True
+
+
+def banded_transeq_v2_supported(solver, shape, ws=(32, 32, 64)) -> bool:
+    """Uniform mesh, square ops, extents tileable per-axis."""
+    for axis in range(3):
+        o = solver.ops[axis]
+        corr = o.der2nd.stretch_correct
+        if corr is not None and np.any(corr):
+            return False
+        n = shape[axis]
+        bs = 128 if axis == 2 else 64
+        w = ws[axis]
+        if 2 * w > bs or n % bs or n < bs + 2 * w:
+            return False
+        other = [a for a in range(3) if a != axis]
+        t0, t1 = _free_dims(axis)
+        if shape[other[0]] % t0 or shape[other[1]] % t1:
+            return False
+        if o.der1st.n_out != n or o.der1st.n_in != n:
+            return False
+        try:
+            for op in (o.der1st, o.der1st_sym, o.der2nd, o.der2nd_sym):
+                banded_blocks(op, w, bs)
+        except ValueError:
+            return False
+    return True

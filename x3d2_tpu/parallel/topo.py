@@ -88,7 +88,7 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
     # Pallas kernels are single-device programs: under GSPMD they would
     # need manual partitioning (shard_map-wrapped kernels, planned), so the
     # sharded step falls back to the einsum paths.
-    for attr in ("_pallas_transeq", "_banded_transeq"):
+    for attr in ("_pallas_transeq", "_banded_transeq", "_transeq_v3"):
         if getattr(case.solver, attr, None) is not None:
             object.__setattr__(case.solver, attr, None)
     sh = state_shardings(dmesh, state)

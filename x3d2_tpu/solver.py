@@ -106,23 +106,24 @@ class NavierStokes:
         # device constants inside a jit trace would leak tracers
         ns._fused_pressure_mats()
         if want and on_tpu:
-            from .ops.pallas_transeq import (banded_transeq_supported,
-                                             fused_transeq_supported,
-                                             make_banded_transeq,
+            from .ops.pallas_kernels import (make_fused_transeq_v3,
+                                             transeq_v3_supported)
+            from .ops.pallas_transeq import (fused_transeq_supported,
                                              make_fused_transeq)
             from .common import DataLoc
             shape = mesh.dims(DataLoc.VERT)
-            if fused_transeq_supported(ns, shape):
-                # dense fused kernel: fastest for sweeps <= 256
+            if transeq_v3_supported(ns, shape):
+                # v3: banded bf16x3 direction sweeps with roll-free
+                # 3-stream windows and cross-direction accumulation
+                # (512^3 transeq: 43.6 ms vs 99 ms for the v1 kernels)
+                object.__setattr__(ns, "_transeq_v3",
+                                   make_fused_transeq_v3(ns.ops, nu, shape))
+            elif fused_transeq_supported(ns, shape):
+                # v1 dense fused kernel (HIGHEST): non-128-multiple shapes
+                # <= 256 that v3's block sizes cannot tile
                 fns = tuple(make_fused_transeq(ns.ops[a], nu, a, shape)
                             for a in range(3))
                 object.__setattr__(ns, "_pallas_transeq", fns)
-            elif banded_transeq_supported(ns, shape):
-                # banded fused kernel for larger sweeps (512^3: ~12% over
-                # the einsum path; half the matmul flops)
-                fns = tuple(make_banded_transeq(ns.ops[a], nu, a, shape)
-                            for a in range(3))
-                object.__setattr__(ns, "_banded_transeq", fns)
         return ns
 
     # ------------------------------------------------------------------
@@ -152,15 +153,12 @@ class NavierStokes:
         application is a separate einsum -- measured faster on v5e than
         batching fields into stacked matmuls, whose materialised stacks
         cost more HBM traffic than the MXU efficiency gained."""
+        v3 = getattr(self, "_transeq_v3", None)
+        if v3 is not None:
+            return v3(u, v, w)
         fns = getattr(self, "_pallas_transeq", None)
         if fns is not None:
             outs = [fns[a](u, v, w) for a in range(3)]
-            return tuple(outs[0][i] + outs[1][i] + outs[2][i]
-                         for i in range(3))
-        bfns = getattr(self, "_banded_transeq", None)
-        if bfns is not None:
-            from .ops.pallas_transeq import banded_transeq
-            outs = [banded_transeq(bfns[a], u, v, w, a) for a in range(3)]
             return tuple(outs[0][i] + outs[1][i] + outs[2][i]
                          for i in range(3))
 
