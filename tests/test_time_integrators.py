@@ -20,10 +20,11 @@ def integrate(name, dt, t_end):
         # analytic history prefill (exact derivatives at t = -dt, -2dt, ..)
         # so the startup does not pollute the asymptotic order, mirroring
         # the reference convergence test setup
-        hist = [LAM * np.exp(LAM * (-(j + 1) * dt)) * np.ones((2, 2, 2))
-                for j in range(ti.nolds)]
-        olds = (jnp.asarray(np.stack(hist)) if ti.nolds
-                else ti.empty_olds(y)[0],)
+        hist = tuple(
+            jnp.asarray(LAM * np.exp(LAM * (-(j + 1) * dt))
+                        * np.ones((2, 2, 2)))
+            for j in range(ti.nolds))
+        olds = (hist,)
         for istep in range(ti.order, ti.order + nsteps):
             rhs = tuple(LAM * f for f in y)
             y, olds = ti.ab_step(y, olds, jnp.asarray(istep, jnp.int32),
@@ -57,8 +58,8 @@ def test_ab3_exact_coefficients():
     coefficients 23/12, -4/3, 5/12 (time_integrator.f90:114-115)."""
     ti = TimeIntegrator("AB3")
     y = (jnp.ones((2, 2, 2)),)
-    olds = (jnp.stack([2.0 * jnp.ones((2, 2, 2)),
-                       3.0 * jnp.ones((2, 2, 2))]),)
+    olds = ((2.0 * jnp.ones((2, 2, 2)),
+             3.0 * jnp.ones((2, 2, 2))),)
     rhs = (jnp.full((2, 2, 2), 5.0),)
     dt = 0.1
     new, new_olds = ti.ab_step(y, olds, jnp.asarray(7, jnp.int32), rhs, dt)

@@ -43,8 +43,12 @@ class CheckpointManager:
             if k in state:
                 arrays[k] = np.asarray(state[k])
         if "olds" in state:
+            # olds[i] is a (nolds,)-tuple of arrays; stored stacked so the
+            # on-disk format matches round 1 (and the reference's "olds"
+            # blocks, checkpoint_manager.f90:223-283)
             for i, o in enumerate(state["olds"]):
-                arrays[f"olds_{i}"] = np.asarray(o)
+                arrays[f"olds_{i}"] = (np.stack([np.asarray(a) for a in o])
+                                       if len(o) else np.zeros((0,)))
             arrays["n_olds_vars"] = np.asarray(len(state["olds"]))
         arrays["timestep"] = np.asarray(timestep)
         arrays["time"] = np.asarray(time)
@@ -102,8 +106,10 @@ class CheckpointManager:
             new["key"] = jnp.asarray(z["key"], new["key"].dtype)
         if "olds" in state and "n_olds_vars" in z:
             n = int(z["n_olds_vars"])
-            new["olds"] = tuple(jnp.asarray(z[f"olds_{i}"], dtype)
-                                for i in range(n))
+            new["olds"] = tuple(
+                tuple(jnp.asarray(z[f"olds_{i}"][j], dtype)
+                      for j in range(z[f"olds_{i}"].shape[0]))
+                for i in range(n))
         timestep = int(z["timestep"])
         new["istep"] = jnp.asarray(timestep + 1, new["istep"].dtype)
         stats = {k[len("stats_"):]: z[k] for k in z.files

@@ -75,9 +75,16 @@ class TimeIntegrator:
 
     # ------------------------------------------------------------------
     def ab_step(self, fields, olds, istep, rhs, dt):
-        """One AB step. `fields`/`rhs` are pytrees (tuples of arrays);
-        `olds` is a pytree of stacked (nolds, ...) arrays; istep is a
-        traced int32 (1-based). Returns (new_fields, new_olds)."""
+        """One AB step. `fields`/`rhs` are tuples of arrays; `olds` is a
+        matching tuple whose entries are (nolds,)-tuples of arrays (the
+        derivative history, newest first); istep is a traced int32
+        (1-based). Returns (new_fields, new_olds).
+
+        The history "rotation" is a Python tuple reshuffle — under jit
+        with donated state XLA aliases each rotated buffer to its input
+        (zero HBM traffic), exactly like the reference's pointer rotation
+        (time_integrator.f90:233-282) and unlike a stacked-array
+        concatenate which would copy nolds fields per step."""
         order = self.order
         nstep = jnp.minimum(istep, order)
         # coefficient row for the current (possibly startup) order
@@ -90,13 +97,12 @@ class TimeIntegrator:
                 acc = acc + dt * coeffs[j + 1] * o[j]
             return acc
 
-        def rot(r, o):
-            if self.nolds == 0:
-                return o
-            return jnp.concatenate([r[None], o[:-1]], axis=0)
-
-        new_fields = jax.tree_util.tree_map(upd, fields, rhs, olds)
-        new_olds = jax.tree_util.tree_map(rot, rhs, olds)
+        new_fields = tuple(upd(f, r, o)
+                           for f, r, o in zip(fields, rhs, olds))
+        if self.nolds == 0:
+            new_olds = olds
+        else:
+            new_olds = tuple((r,) + o[:-1] for r, o in zip(rhs, olds))
         return new_fields, new_olds
 
     def rk_substage(self, fields0, ks, istage, dt):
@@ -118,6 +124,7 @@ class TimeIntegrator:
         return jax.tree_util.tree_map(upd, fields0, *ks)
 
     def empty_olds(self, template):
-        """Zero-initialised history stack matching a fields pytree."""
-        return jax.tree_util.tree_map(
-            lambda f: jnp.zeros((self.nolds,) + f.shape, f.dtype), template)
+        """Zero-initialised history: per field, a (nolds,)-tuple of
+        arrays (kept as separate buffers so rotation is alias-only)."""
+        return tuple(tuple(jnp.zeros(f.shape, f.dtype)
+                           for _ in range(self.nolds)) for f in template)
