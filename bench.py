@@ -2,14 +2,20 @@
 """Headline benchmark: TGV DNS wall-clock per step on the local TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Baseline context (BASELINE.md): the reference publishes no absolute
-numbers; the driver north-star is 512^3 TGV wall-clock/step vs the
-reference CUDA backend on A100. vs_baseline here reports throughput
-normalised by a 10 ms/step A100-class target at the benchmarked size
-(scaled by DOF from 512^3), i.e. >1.0 means faster than target.
-"""
+Default size is 512^3 — the driver north-star configuration
+(BASELINE.md: 512^3 TGV wall-clock/step vs the reference CUDA backend on
+A100). The reference publishes no absolute numbers; vs_baseline
+normalises against a 10 ms/step A100-class estimate at 512^3 (scaled by
+DOF for other sizes), i.e. >1.0 means faster than that estimate.
+
+Alongside wall-clock, the line reports a hardware roofline figure:
+achieved useful f32-equivalent TFLOP/s from the step's algorithmic flop
+count, and utilisation relative to the v5e bf16x3 ceiling (197 TF/s
+bf16 / 3 passes ~= 65.8 TF/s of f32-grade matmul), so progress is
+measurable against the chip rather than the A100 guess (VERDICT.md
+round-1 item)."""
 
 import json
 import os
@@ -22,9 +28,22 @@ import jax
 import jax.numpy as jnp
 
 
+def step_flops(n, case):
+    """Algorithmic useful flops per step (matmul terms only)."""
+    ns = case.solver
+    if getattr(ns, "_transeq_v3", None) is not None:
+        # banded windows: 96 on axes 0/1, 256 on the lane axis
+        transeq = 9 * 2 * (96 + 96 + 256) * n**3
+    else:
+        transeq = 27 * 2 * n * n**3
+    napply = 16 if not case.keep_pressure else 19
+    pressure = napply * 2 * n * n**3
+    return transeq + pressure
+
+
 def main():
-    n = int(os.environ.get("BENCH_N", "256"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    n = int(os.environ.get("BENCH_N", "512"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     # persistent compilation cache: repeat runs skip the (remote) compile
     try:
@@ -58,15 +77,18 @@ def main():
 
     assert bool(jnp.isfinite(state["u"]).all()), "NaN in benchmark run"
 
-    # A100-class reference target: ~10 ms/step at 512^3 (memory-bound
-    # estimate from the reference's 16B-eq/DOF transeq traffic model,
-    # BASELINE.md); scale by DOF for other sizes.
+    # A100-class reference estimate: ~10 ms/step at 512^3 (memory-bound
+    # model from the reference's 16B-eq/DOF transeq traffic, BASELINE.md)
     target_ms = 10.0 * (n / 512) ** 3
+    tflops = step_flops(n, case) / (ms_per_step * 1e-3) * 1e-12
+    bf16x3_ceiling = 197.0 / 3
     result = {
         "metric": f"TGV {n}^3 f32 AB3 wall-clock per step (1 chip)",
         "value": round(ms_per_step, 3),
         "unit": "ms/step",
         "vs_baseline": round(target_ms / ms_per_step, 3),
+        "tflops": round(tflops, 1),
+        "mxu_util_vs_bf16x3_peak": round(tflops / bf16x3_ceiling, 3),
     }
     print(json.dumps(result))
 
