@@ -76,17 +76,20 @@ def shard_operator_blocks(op: CompactOp, n_shards: int, w: int = 32,
 
 
 def make_halo_apply(op: CompactOp, dmesh: DeviceMesh, mesh_axis: str,
-                    spatial_axis: int, w: int = 32):
+                    spatial_axis: int, w: int = 32, field_spec: P = None):
     """Build fn(f) applying `op` along a sharded spatial axis via
-    ppermute halo exchange inside shard_map. f is sharded on
-    (mesh_axis -> spatial_axis); x (axis 0) must be unsharded."""
+    ppermute halo exchange inside shard_map. `field_spec` is the full
+    PartitionSpec of f (other axes may also be sharded; the local apply
+    does not touch them); defaults to sharding only spatial_axis."""
     n_shards = dmesh.shape[mesh_axis]
     blocks, trunc = shard_operator_blocks(op, n_shards, w)
     ns = n_shards
 
-    spec_in = [None, None, None]
-    spec_in[spatial_axis] = mesh_axis
-    fspec = P(*spec_in)
+    if field_spec is None:
+        spec_in = [None, None, None]
+        spec_in[spatial_axis] = mesh_axis
+        field_spec = P(*spec_in)
+    fspec = field_spec
     bspec = P(mesh_axis)  # blocks sharded over their leading axis
 
     fwd = [(i, (i + 1) % ns) for i in range(ns)]
@@ -114,3 +117,69 @@ def make_halo_apply(op: CompactOp, dmesh: DeviceMesh, mesh_axis: str,
 def halo_apply(op: CompactOp, f, dmesh: DeviceMesh, mesh_axis: str,
                spatial_axis: int, w: int = 32):
     return make_halo_apply(op, dmesh, mesh_axis, spatial_axis, w)(f)
+
+
+# ---------------------------------------------------------------------------
+# Production integration: halo-wrapped operator bundles.
+# ---------------------------------------------------------------------------
+
+
+def halo_width(dtype) -> int:
+    """Band half-width for exact-to-epsilon truncation: the slowest
+    compact6 decay (der1st, alpha=1/3, rate ~0.382/point) reaches
+    ~4e-21 at w=48 (f64 grade) and ~4e-14 at w=32 (f32 grade)."""
+    import jax.numpy as jnp
+    return 48 if dtype == jnp.float64 else 32
+
+
+class HaloCompactOp:
+    """CompactOp wrapper routing the apply along one sharded spatial axis
+    through ppermute halo exchange (the production use of the DistD2
+    analogue, reference src/backend/omp/exec_dist.f90:16-65). Duck-types
+    CompactOp for the solver's call sites."""
+
+    def __init__(self, op: CompactOp, dmesh, mesh_axis, spatial_axis,
+                 w, field_spec=None):
+        self._op = op
+        self.spatial_axis = spatial_axis
+        self._fn = make_halo_apply(op, dmesh, mesh_axis, spatial_axis, w,
+                                   field_spec=field_spec)
+
+    def __getattr__(self, name):
+        return getattr(self._op, name)
+
+    def __call__(self, f, axis):
+        if axis != self.spatial_axis:
+            raise ValueError(
+                f"halo op built for axis {self.spatial_axis}, got {axis}")
+        return self._fn(f)
+
+
+_OP_NAMES = ("der1st", "der1st_sym", "der2nd", "der2nd_sym",
+             "stagder_v2p", "interpl_v2p", "stagder_p2v", "interpl_p2v")
+
+
+class _HaloBundle:
+    """AxisOps look-alike with halo-wrapped operators."""
+
+    def __init__(self, axis):
+        self.axis = axis
+
+
+def make_halo_axis_ops(axis_ops, dmesh, mesh_axis, spatial_axis, w,
+                       field_spec=None):
+    """Wrap every square operator of one AxisOps bundle with halo
+    applies. Non-square ops (staggered grids under Dirichlet, where
+    vertex/cell counts differ) stay on the GSPMD path — those axes are
+    not shardable by field_spec anyway (odd extents)."""
+
+    def wrap(op):
+        if op.n_out != op.n_in:
+            return op
+        return HaloCompactOp(op, dmesh, mesh_axis, spatial_axis, w,
+                             field_spec=field_spec)
+
+    b = _HaloBundle(axis_ops.axis)
+    for name in _OP_NAMES:
+        setattr(b, name, wrap(getattr(axis_ops, name)))
+    return b

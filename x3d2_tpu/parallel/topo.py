@@ -74,23 +74,77 @@ def shard_state(dmesh: DeviceMesh, state) -> dict:
     return jax.device_put(state, state_shardings(dmesh, state))
 
 
+def make_halo_solver(solver, dmesh: DeviceMesh, w=None):
+    """Wrap the solver's compact operators along sharded axes with
+    ppermute halo applies (parallel/halo.py) — the production DistD2
+    analogue (reference src/backend/omp/exec_dist.f90:16-65): each
+    implicit solve costs one neighbour exchange of w planes instead of a
+    GSPMD reduce-scatter of full partial products. Axes whose extents
+    don't divide the mesh, aren't sharded, or whose shards are narrower
+    than the truncation-exact band stay on the GSPMD path. Returns the
+    original solver when nothing is wrappable."""
+    import dataclasses
+    from ..common import DataLoc
+    from .halo import halo_width, make_halo_axis_ops
+
+    w = w or halo_width(solver.dtype)
+    dims = solver.mesh.dims(DataLoc.VERT)
+    spec = tuple(field_spec(dmesh, dims))
+    mesh_axes = {1: "y", 2: "z"}
+    new_ops, wrapped = [], False
+    for axis in range(3):
+        o = solver.ops[axis]
+        name = mesh_axes.get(axis)
+        if name is not None and spec[axis] == name:
+            ns = dmesh.shape[name]
+            n = o.der1st.n_in
+            if (ns > 1 and o.der1st.n_out == n and n % ns == 0
+                    and n // ns >= w):
+                try:
+                    new_ops.append(make_halo_axis_ops(
+                        o, dmesh, name, axis, w, field_spec=P(*spec)))
+                    wrapped = True
+                    continue
+                except ValueError:
+                    pass  # band truncation check failed: GSPMD fallback
+        new_ops.append(o)
+    if not wrapped:
+        return solver
+    variant = dataclasses.replace(solver, ops=tuple(new_ops))
+    object.__setattr__(variant, "_halo_mode", True)
+    return variant
+
+
 def make_sharded_step(case, dmesh: DeviceMesh, state=None,
-                      pin_shardings=None):
+                      pin_shardings=None, use_halo=True):
     """jit the case step sharded over the device mesh.
+
+    Compact operators along sharded axes run as explicit ppermute halo
+    exchanges (make_halo_solver) when the shards are wide enough for the
+    truncation-exact band; everything else (spectral transforms,
+    elementwise) is GSPMD-partitioned. Pallas kernels are single-device
+    programs and are dropped from the sharded variant.
 
     On TPU, in/out shardings are pinned explicitly (stable state layout,
     donation-friendly). On the virtual CPU test mesh, explicit output
     shardings trigger an XLA:CPU FFT-thunk layout RET_CHECK, so there we
     only place the inputs and let GSPMD propagate; the propagated field
     shardings come out identical (verified by tests/test_sharding.py)."""
+    import copy
+    import dataclasses
+
     if state is None:
         state = case.initial_state()
-    # Pallas kernels are single-device programs: under GSPMD they would
-    # need manual partitioning (shard_map-wrapped kernels, planned), so the
-    # sharded step falls back to the einsum paths.
-    for attr in ("_pallas_transeq", "_banded_transeq", "_transeq_v3"):
-        if getattr(case.solver, attr, None) is not None:
-            object.__setattr__(case.solver, attr, None)
+    solver = case.solver
+    halo_solver = make_halo_solver(solver, dmesh) if use_halo else solver
+    if halo_solver is solver:
+        # dataclasses.replace drops the Pallas kernel attributes (they
+        # are single-device programs) and the fused-matrix cache; rebuild
+        # the latter eagerly so no constants materialise under trace
+        halo_solver = dataclasses.replace(solver)
+        halo_solver._fused_pressure_mats()
+    case = copy.copy(case)
+    case.solver = halo_solver
     sh = state_shardings(dmesh, state)
     if pin_shardings is None:
         pin_shardings = dmesh.devices.flat[0].platform != "cpu"

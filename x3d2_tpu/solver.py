@@ -161,6 +161,21 @@ class NavierStokes:
             outs = [fns[a](u, v, w) for a in range(3)]
             return tuple(outs[0][i] + outs[1][i] + outs[2][i]
                          for i in range(3))
+        if getattr(self, "_halo_mode", False):
+            # sharded axes: per-op halo applies (no row-stacking -- each
+            # wrapped op carries its own ppermute exchange)
+            comps = (u, v, w)
+            rhs = [0.0, 0.0, 0.0]
+            for axis in range(3):
+                o = self.ops[axis]
+                for c in range(3):
+                    if c == axis:
+                        dus, duds, d2s = o.der1st, o.der1st_sym, o.der2nd
+                    else:
+                        dus, duds, d2s = o.der1st_sym, o.der1st, o.der2nd_sym
+                    rhs[c] = rhs[c] + self._transeq_component(
+                        comps[c], comps[axis], axis, dus, duds, d2s, self.nu)
+            return tuple(rhs)
 
         comps = (u, v, w)
         prods = {}
@@ -229,6 +244,14 @@ class NavierStokes:
         """grad(p) from CELL to VERT grid (vector_calculus.f90:248-332),
         z -> y -> x sweep order."""
         ox, oy, oz = self.ops
+        if getattr(self, "_halo_mode", False):
+            p_z = oz.interpl_p2v(p, 2)
+            dpdz = oz.stagder_p2v(p, 2)
+            p_zy = oy.interpl_p2v(p_z, 1)
+            dpdy = oy.stagder_p2v(p_z, 1)
+            dpdz = oy.interpl_p2v(dpdz, 1)
+            return (ox.stagder_p2v(p_zy, 0), ox.interpl_p2v(dpdy, 0),
+                    ox.interpl_p2v(dpdz, 0))
         # operator pairs sharing an input are row-stacked into one matmul
         Mz = jnp.concatenate([oz.interpl_p2v.M, oz.stagder_p2v.M])
         both = apply_matrix(Mz, p, 2)
@@ -352,7 +375,12 @@ class NavierStokes:
         spectral-basis solution (fine for checkpoint round-trips, not for
         visualisation)."""
         d = self._fused_pressure_mats()
-        if d is None or self.poisson.stretch_solver is not None:
+        if (d is None or self.poisson.stretch_solver is not None
+                or getattr(self, "_halo_mode", False)):
+            # halo mode: the unfused path keeps div/grad as banded compact
+            # ops (ppermute halo exchanges); only the spectral transforms
+            # inside self.poisson are global contractions (the GSPMD
+            # analogue of the reference's FFT all-to-alls)
             div_u = self.divergence_v2p(u, v, w)
             p = self.poisson(div_u)
             dpdx, dpdy, dpdz = self.gradient_p2v(p)
