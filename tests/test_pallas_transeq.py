@@ -56,19 +56,3 @@ def test_supported_predicate(setup):
     shape, ns, _ = setup
     assert fused_transeq_supported(ns, shape)
     assert not fused_transeq_supported(ns, (33, 128, 128))
-
-
-@pytest.mark.parametrize("axis", [0, 1, 2])
-def test_banded_matches_einsum(setup, axis):
-    from x3d2_tpu.ops.pallas_transeq import (make_banded_transeq,
-                                             banded_transeq)
-    shape, ns, (u, v, w) = setup
-    if shape[axis] < 128:
-        pytest.skip("needs n >= 2*bs")
-    fn = make_banded_transeq(ns.ops[axis], ns.nu, axis, shape, w=32, bs=64,
-                             interpret=True)
-    got = banded_transeq(fn, u, v, w, axis, wband=32)
-    ref = ref_direction(ns, axis, u, v, w)
-    for c in range(3):
-        d = float(jnp.max(jnp.abs(got[c] - ref[c])))
-        assert d < 1e-11, (axis, c, d)

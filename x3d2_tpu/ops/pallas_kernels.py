@@ -1,4 +1,4 @@
-"""Pallas v2 kernels: bf16x3 fused transeq + single-operator applies.
+"""Pallas fused transeq kernels (bf16x3, banded, accumulated).
 
 TPU analogue of the reference's fused CUDA transeq kernel
 (transeq_3fused_dist, src/backend/cuda/kernels/distributed.f90:196-685):
@@ -9,7 +9,7 @@ applications and the skew-symmetric combine
 
 without materialising intermediates in HBM.
 
-Two v2 improvements over pallas_transeq.py:
+Design points (vs the v1 kernel in pallas_transeq.py):
 
 1. **Manual bf16x3 ("HIGH") matmuls.** Mosaic only lowers DEFAULT (1 bf16
    pass) and HIGHEST (bf16x6) dot precisions; v1 kernels paid bf16x6.
@@ -93,65 +93,6 @@ def _contract3(Mh, Ml, xh, xl, axis, bs_out):
     return jnp.concatenate(rows, axis=0)
 
 
-def _transeq_kernel(ua_ref, ub_ref, va_ref, vb_ref, wa_ref, wb_ref,
-                    sa_h_ref, sa_l_ref, st_h_ref, st_l_ref,
-                    da_h_ref, da_l_ref, dt_h_ref, dt_l_ref,
-                    du_ref, dv_ref, dw_ref, *, axis, nu, w, bs):
-    """One direction sweep, all three components.
-
-    Field inputs arrive as two aligned blocks (a=block b, b=block b+1) of
-    the +w-rolled arrays; the window is concat(a, b[:2w]). Matrices:
-    sa/st = row-stacked (der1st; der2nd) for aligned/transverse roles
-    (nb, 2bs, win), fully VMEM-resident (index maps constant — no per-step
-    DMA); da/dt = der-of-product matrices (nb, bs, win). _h/_l are the
-    bf16 hi/lo parts. Operator roles per component follow
-    transeq_omp_dist (reference omp/backend.f90:235-262)."""
-    outs = (du_ref, dv_ref, dw_ref)
-    b = pl.program_id(2)
-
-    def window(a_ref, b_ref):
-        a = a_ref[...]
-        sl = [slice(None)] * 3
-        sl[axis] = slice(0, 2 * w)
-        b_ = b_ref[tuple(sl)]
-        return jnp.concatenate([a, b_], axis=axis)
-
-    uw = window(ua_ref, ub_ref)
-    vw = window(va_ref, vb_ref)
-    ww = window(wa_ref, wb_ref)
-    wins = (uw, vw, ww)
-    convw = wins[axis]
-    # unrolled conv block: rolled window indices [w, w+bs)
-    sl = [slice(None)] * 3
-    sl[axis] = slice(w, w + bs)
-    conv = convw[tuple(sl)]
-
-    sa_h, sa_l = sa_h_ref[b], sa_l_ref[b]
-    st_h, st_l = st_h_ref[b], st_l_ref[b]
-    da_h, da_l = da_h_ref[b], da_l_ref[b]
-    dt_h, dt_l = dt_h_ref[b], dt_l_ref[b]
-
-    for c in range(3):
-        q = wins[c]
-        qh, ql = _split(q)
-        p = q * convw
-        ph, pl_ = _split(p)
-        if c == axis:
-            Sh, Sl, Dh, Dl = sa_h, sa_l, da_h, da_l
-        else:
-            Sh, Sl, Dh, Dl = st_h, st_l, dt_h, dt_l
-        stacked = _contract3(Sh, Sl, qh, ql, axis, bs)   # (2bs,) rows
-        sl1 = [slice(None)] * 3
-        sl1[axis] = slice(0, bs)
-        sl2 = [slice(None)] * 3
-        sl2[axis] = slice(bs, 2 * bs)
-        dq = stacked[tuple(sl1)]
-        d2q = stacked[tuple(sl2)]
-        dqd = _contract3(Dh, Dl, ph, pl_, axis, bs)
-        outs[c][...] = (-0.5 * (conv * dq + dqd) + nu * d2q).astype(
-            outs[c].dtype)
-
-
 def _free_dims(axis):
     """Default in-tile extents of the two non-sweep axes. Larger tiles
     amortise MXU issue latency over a bigger batch; bounded by VMEM."""
@@ -166,98 +107,6 @@ def _stack_banded(op_pair, w, bs):
     b1 = banded_blocks(op_pair[0], w, bs, tol=_BAND_TOL)
     b2 = banded_blocks(op_pair[1], w, bs, tol=_BAND_TOL)
     return np.concatenate([b1, b2], axis=1)
-
-
-def make_banded_transeq_v2(ops_axis, nu, axis, shape, w=None, bs=None,
-                           free=None, interpret=False):
-    """Build fn(u, v, w) -> (du, dv, dw) for one banded direction sweep
-    with bf16x3 matmuls. Defaults: (bs=64, w=32) on axes 0/1; (bs=128,
-    w=64) on the lane axis (last-dim block rule)."""
-    n = shape[axis]
-    if bs is None:
-        bs = 128 if axis == 2 else 64
-    if w is None:
-        w = bs // 2
-    if 2 * w > bs:
-        raise ValueError("banded window needs w <= bs/2 (two-block cover)")
-    if n % bs or n < bs + 2 * w:
-        raise ValueError(f"n={n} not tileable with bs={bs}, w={w}")
-    nb = n // bs
-
-    d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
-    d2, d2s = ops_axis.der2nd, ops_axis.der2nd_sym
-    # aligned component: (der1st, der2nd) stacked + der1st_sym for d(uq)
-    # transverse: (der1st_sym, der2nd_sym) stacked + der1st for d(uq)
-    sa = _stack_banded((d1, d2), w, bs)
-    st = _stack_banded((d1s, d2s), w, bs)
-    da = banded_blocks(d1s, w, bs)
-    dt = banded_blocks(d1, w, bs)
-    mats = []
-    for M in (sa, st, da, dt):
-        hi, lo = split_hi_lo(M)
-        mats += [jnp.asarray(hi), jnp.asarray(lo)]
-
-    other = [a for a in range(3) if a != axis]
-    t0, t1 = free if free is not None else _free_dims(axis)
-    if shape[other[0]] % t0 or shape[other[1]] % t1:
-        raise ValueError(f"shape {shape} free dims not tileable")
-
-    blk = [0, 0, 0]
-    blk[axis] = bs
-    blk[other[0]] = t0
-    blk[other[1]] = t1
-
-    def mk_map(shift):
-        def index_map(i, j, b):
-            idx = [0, 0, 0]
-            idx[axis] = (b + shift) % nb if shift else b
-            idx[other[0]] = i
-            idx[other[1]] = j
-            return tuple(idx)
-        return index_map
-
-    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
-    spec_a = pl.BlockSpec(tuple(blk), mk_map(0), memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec(tuple(blk), mk_map(1), memory_space=pltpu.VMEM)
-    win = bs + 2 * w
-    # matrices are small: keep ALL blocks VMEM-resident (constant index
-    # map) so the inner grid dimension issues no matrix DMAs
-    sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((nb, bs, win), lambda i, j, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    kern = functools.partial(_transeq_kernel, axis=axis, nu=float(nu),
-                             w=w, bs=bs)
-    fspec = pl.BlockSpec(tuple(blk), mk_map(0), memory_space=pltpu.VMEM)
-
-    flops = 3 * (3 * bs) * win * int(np.prod(shape)) // bs * 2 * 3
-    cost = pl.CostEstimate(flops=flops,
-                           bytes_accessed=9 * int(np.prod(shape)) * 4,
-                           transcendentals=0)
-
-    def fn(u, v, w_):
-        """u, v, w_ are the +w-rolled fields."""
-        out_shape = [jax.ShapeDtypeStruct(u.shape, u.dtype)] * 3
-        return pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[spec_a, spec_b] * 3 + [sspec] * 4 + [dspec] * 4,
-            out_specs=[fspec] * 3,
-            out_shape=out_shape,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(u, u, v, v, w_, w_, *mats)
-
-    roll_w = w
-
-    def apply(u, v, w_):
-        # Rolling by +w makes each output block's window equal two aligned
-        # blocks of the rolled array; the banded matrix rows are in
-        # original coordinates, so outputs need no roll-back.
-        rolled = tuple(jnp.roll(q, roll_w, axis=axis) for q in (u, v, w_))
-        return fn(*rolled)
-
-    return apply
 
 
 # ---------------------------------------------------------------------------
@@ -500,32 +349,6 @@ def transeq_v3_supported(solver, shape) -> bool:
         try:
             for op in (o.der1st, o.der1st_sym, o.der2nd, o.der2nd_sym):
                 banded_blocks(op, w, bs, tol=_BAND_TOL)
-        except ValueError:
-            return False
-    return True
-
-
-def banded_transeq_v2_supported(solver, shape, ws=(32, 32, 64)) -> bool:
-    """Uniform mesh, square ops, extents tileable per-axis."""
-    for axis in range(3):
-        o = solver.ops[axis]
-        corr = o.der2nd.stretch_correct
-        if corr is not None and np.any(corr):
-            return False
-        n = shape[axis]
-        bs = 128 if axis == 2 else 64
-        w = ws[axis]
-        if 2 * w > bs or n % bs or n < bs + 2 * w:
-            return False
-        other = [a for a in range(3) if a != axis]
-        t0, t1 = _free_dims(axis)
-        if shape[other[0]] % t0 or shape[other[1]] % t1:
-            return False
-        if o.der1st.n_out != n or o.der1st.n_in != n:
-            return False
-        try:
-            for op in (o.der1st, o.der1st_sym, o.der2nd, o.der2nd_sym):
-                banded_blocks(op, w, bs)
         except ValueError:
             return False
     return True

@@ -198,17 +198,15 @@ def fused_transeq_supported(solver, shape) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Banded variant: the resolved operator rows decay exponentially off the
-# diagonal (ops/compact.py), so output row block b only needs input rows
-# [128b - 64, 128b + 192) -- a 256-wide window instead of the full sweep.
-# This halves the matmul flops vs the dense kernel, removes the full-extent
-# input tiles from VMEM (enabling n > 256), and keeps the one-pass fusion.
-# The window is made block-aligned by pre-rolling the fields by +64 along
-# the sweep axis (one cheap elementwise pass amortised over all nine ops).
-# Band truncation is guarded at build time like parallel/halo.py.
+# banded_blocks: band-truncated per-output-block operator slices, shared
+# by the v3 kernels (pallas_kernels.py) and the sharded halo path
+# (parallel/halo.py). The v1 banded kernel and the generic single-op
+# pallas apply that lived here were superseded by the v3 design (bf16x3 +
+# 3-stream windows) and by the einsum HIGH chain respectively, and were
+# removed after measuring both slower.
 # ---------------------------------------------------------------------------
 
-_BW = 64  # half-bandwidth (f32 truncation ~1e-9 for all compact6 ops)
+_BW = 64  # default half-bandwidth (f32 truncation ~1e-9 for compact6 ops)
 
 
 def banded_blocks(op, w=_BW, bs=128, tol=1e-7):
@@ -240,257 +238,3 @@ def banded_blocks(op, w=_BW, bs=128, tol=1e-7):
     if dropped > tol * scale:
         raise ValueError(f"band w={w} truncates at {dropped / scale:.1e}")
     return W
-
-
-def _banded_kernel(fa_ref, fb_ref, ca_ref, cb_ref, conv_ref,
-                   m_du_ref, m_dud_ref, m_d2_ref,
-                   out_ref, *, axis, nu, prec):
-    """One component per call: two rolled blocks of the component (fa,fb),
-    two rolled blocks of the aligned conv component (ca,cb), the aligned
-    conv output block, and the three banded weight slices."""
-    fa, fb = fa_ref[...], fb_ref[...]
-    ca, cb = ca_ref[...], cb_ref[...]
-    conv = conv_ref[...]
-    m_du = m_du_ref[...][0]
-    m_dud = m_dud_ref[...][0]
-    m_d2 = m_d2_ref[...][0]
-    bs = out_ref.shape[axis]
-
-    def contract(M, xa, xb):
-        Ma, Mb = M[:, :bs], M[:, bs:]
-        if axis == 0:
-            sh = xa.shape
-            ra = jax.lax.dot_general(
-                Ma, xa.reshape(bs, -1),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=xa.dtype, precision=prec)
-            rb = jax.lax.dot_general(
-                Mb, xb.reshape(bs, -1),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=xa.dtype, precision=prec)
-            return (ra + rb).reshape(sh)
-        if axis == 2:
-            ra = jax.lax.dot_general(
-                xa, Ma, dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=xa.dtype, precision=prec)
-            rb = jax.lax.dot_general(
-                xb, Mb, dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=xa.dtype, precision=prec)
-            return ra + rb
-        rows = []
-        for i in range(xa.shape[0]):
-            ra = jax.lax.dot_general(
-                Ma, xa[i], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=xa.dtype, precision=prec)
-            rb = jax.lax.dot_general(
-                Mb, xb[i], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=xa.dtype, precision=prec)
-            rows.append((ra + rb)[None])
-        return jnp.concatenate(rows, axis=0)
-
-    dq = contract(m_du, fa, fb)
-    dqd = contract(m_dud, fa * ca, fb * cb)
-    d2q = contract(m_d2, fa, fb)
-    out_ref[...] = (-0.5 * (conv * dq + dqd) + nu * d2q).astype(
-        out_ref.dtype)
-
-
-def make_banded_transeq(ops_axis, nu, axis, shape, w=_BW, bs=128,
-                        precision=jax.lax.Precision.HIGHEST,
-                        interpret=False):
-    """Banded fused transeq for one direction; fields must be pre-rolled
-    by +w along `axis` (see banded_transeq for the wrapper). One pallas
-    call per component keeps scoped VMEM within budget."""
-    n = shape[axis]
-    nb = n // bs
-    if w != bs // 2:
-        # two aligned bs-blocks of the rolled field must cover the window
-        raise ValueError("banded transeq requires w == bs//2")
-    if n < bs + 2 * w:
-        # the banded window must not wrap onto itself
-        raise ValueError(f"banded transeq needs n >= bs + 2w, got {n}")
-    mats = {}
-    for name, op in (("der1st", ops_axis.der1st),
-                     ("der1st_sym", ops_axis.der1st_sym),
-                     ("der2nd", ops_axis.der2nd),
-                     ("der2nd_sym", ops_axis.der2nd_sym)):
-        mats[name] = jnp.asarray(banded_blocks(op, w, bs), dtype=op.M.dtype)
-    other = [a for a in range(3) if a != axis]
-    free = {0: (8, 128), 1: (4, 128), 2: (4, 128)}[axis]
-    t0, t1 = free
-    if shape[other[0]] % t0 or shape[other[1]] % t1 or n % bs:
-        raise ValueError(f"banded transeq: shape {shape} not tileable")
-
-    blk = [0, 0, 0]
-    blk[axis] = bs
-    blk[other[0]] = t0
-    blk[other[1]] = t1
-
-    def mk_map(shift):
-        def index_map(i, j, b):
-            idx = [0, 0, 0]
-            idx[axis] = (b + shift) % nb if shift else b
-            idx[other[0]] = i
-            idx[other[1]] = j
-            return tuple(idx)
-        return index_map
-
-    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
-    spec_a = pl.BlockSpec(tuple(blk), mk_map(0), memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec(tuple(blk), mk_map(1), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, bs, bs + 2 * w), lambda i, j, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    kern = functools.partial(_banded_kernel, axis=axis, nu=float(nu),
-                             prec=precision)
-
-    def one(q_r, conv_r, conv, m_du, m_dud, m_d2):
-        out_shape = jax.ShapeDtypeStruct(q_r.shape, q_r.dtype)
-        return pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[spec_a, spec_b, spec_a, spec_b, spec_a] + [mspec] * 3,
-            out_specs=pl.BlockSpec(tuple(blk), mk_map(0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=out_shape,
-            interpret=interpret,
-        )(q_r, q_r, conv_r, conv_r, conv, m_du, m_dud, m_d2)
-
-    def fn(rolled, conv):
-        """rolled: (u_r, v_r, w_r); conv: aligned direction component."""
-        conv_r = rolled[axis]
-        outs = []
-        for c in range(3):
-            if c == axis:
-                m_du, m_dud, m_d2 = (mats["der1st"], mats["der1st_sym"],
-                                     mats["der2nd"])
-            else:
-                m_du, m_dud, m_d2 = (mats["der1st_sym"], mats["der1st"],
-                                     mats["der2nd_sym"])
-            outs.append(one(rolled[c], conv_r, conv, m_du, m_dud, m_d2))
-        return tuple(outs)
-
-    return fn
-
-
-def banded_transeq(fns, u, v, w, axis, wband=_BW):
-    """Apply the banded direction sweep: roll fields by +w so the banded
-    window becomes two aligned blocks, then call the kernels."""
-    comps = (u, v, w)
-    rolled = tuple(jnp.roll(q, wband, axis=axis) for q in comps)
-    return fns(rolled, comps[axis])
-
-
-def banded_transeq_supported(solver, shape, w=_BW, bs=128) -> bool:
-    """Banded kernel: uniform mesh, square periodic-or-padded operators,
-    n % 128 == 0 and n >= 256 per axis."""
-    for axis in range(3):
-        o = solver.ops[axis]
-        corr = o.der2nd.stretch_correct
-        if corr is not None and np.any(corr):
-            return False
-        n = shape[axis]
-        if n % bs or n < bs + 2 * w:
-            return False
-        other = [a for a in range(3) if a != axis]
-        free = {0: (8, 128), 1: (4, 128), 2: (4, 128)}[axis]
-        if shape[other[0]] % free[0] or shape[other[1]] % free[1]:
-            return False
-        if o.der1st.n_out != n or o.der1st.n_in != n:
-            return False
-        try:
-            for op in (o.der1st, o.der1st_sym, o.der2nd, o.der2nd_sym):
-                banded_blocks(op, w, bs)
-        except ValueError:
-            return False
-    return True
-
-
-# ---------------------------------------------------------------------------
-# Generic single-operator Pallas apply: the dense kernel machinery reused
-# for one (matrix, field) pair, optionally with a second stacked matrix on
-# the same input. Avoids the XLA transposes that einsum inserts for
-# axis-1/2 contractions; used by the projection stages on TPU.
-# ---------------------------------------------------------------------------
-
-
-def _apply_kernel(f_ref, m_ref, out_ref, *, axis, prec):
-    f = f_ref[...]
-    M = m_ref[...]
-    shape = f.shape
-    if axis == 0:
-        n = shape[0]
-        r = jax.lax.dot_general(
-            M, f.reshape(n, -1), dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f.dtype, precision=prec)
-        out_ref[...] = r.reshape((M.shape[0],) + shape[1:]).astype(
-            out_ref.dtype)
-    elif axis == 2:
-        r = jax.lax.dot_general(
-            f, M, dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=f.dtype, precision=prec)
-        out_ref[...] = r.astype(out_ref.dtype)
-    else:
-        rows = [jax.lax.dot_general(
-            M, f[i], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f.dtype, precision=prec)[None]
-            for i in range(shape[0])]
-        out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
-
-
-def make_pallas_apply(M, axis, shape_in, n_out=None,
-                      precision=jax.lax.Precision.HIGHEST, interpret=False):
-    """fn(f) applying M (n_out, n_in) along `axis` of f (shape_in)."""
-    n_in = shape_in[axis]
-    n_out = n_out or M.shape[0]
-    if M.shape != (n_out, n_in):
-        raise ValueError("matrix/shape mismatch")
-    other = [a for a in range(3) if a != axis]
-    free = {0: (8, 128), 1: (8, 128), 2: (8, 128)}[axis]
-    t0, t1 = free
-    if shape_in[other[0]] % t0 or shape_in[other[1]] % t1:
-        raise ValueError("shape not tileable")
-    bs = _pick_bs(axis, n_out)
-    if bs is None or n_out % bs or n_in > 512:
-        raise ValueError("unsupported sizes for pallas apply")
-
-    in_blk = [0, 0, 0]
-    in_blk[axis] = n_in
-    in_blk[other[0]] = t0
-    in_blk[other[1]] = t1
-    out_blk = list(in_blk)
-    out_blk[axis] = bs
-    shape_out = list(shape_in)
-    shape_out[axis] = n_out
-
-    def in_map(i, j, b):
-        idx = [0, 0, 0]
-        idx[other[0]] = i
-        idx[other[1]] = j
-        return tuple(idx)
-
-    def out_map(i, j, b):
-        idx = [0, 0, 0]
-        idx[axis] = b
-        idx[other[0]] = i
-        idx[other[1]] = j
-        return tuple(idx)
-
-    grid = (shape_in[other[0]] // t0, shape_in[other[1]] // t1, n_out // bs)
-    kern = functools.partial(_apply_kernel, axis=axis, prec=precision)
-    Md = jnp.asarray(M)
-
-    def fn(f):
-        return pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[pl.BlockSpec(tuple(in_blk), in_map,
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((bs, n_in), lambda i, j, b: (b, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(tuple(out_blk), out_map,
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(tuple(shape_out), f.dtype),
-            interpret=interpret,
-        )(f, Md)
-
-    return fn

@@ -89,19 +89,16 @@ class NavierStokes:
                  nu_species=tuple(nu_species))
         # Pallas kernels: default on TPU for supported shapes; disable with
         # X3D2_PALLAS=0. CPU runs always use the einsum paths.
+        # (Projection matmuls stay on einsum: a Pallas dense apply was
+        # measured slower than XLA's HIGH einsum chain and removed;
+        # a fully banded Pallas projection also measured slower at 512^3
+        # -- 60.2 vs 48.3 ms -- because the extra standalone-transform
+        # HBM passes outweigh the flop savings at ~400 GB/s effective.)
         import os as _os
         want = _os.environ.get("X3D2_PALLAS", "1") != "0"
         dd = jax.config.jax_default_device
         on_tpu = (jax.default_backend() == "tpu"
                   and (dd is None or getattr(dd, "platform", "tpu") == "tpu"))
-        # Projection matmuls stay on the einsum path: Mosaic only lowers
-        # DEFAULT/HIGHEST dot precisions, and pallas-apply at HIGHEST
-        # (bf16x6) measured slower (20.3 ms/step) than einsum at HIGH
-        # (bf16x3, 17.0 ms/step) despite saving the axis-1/2 transposes.
-        # Opt-in for experimentation via X3D2_PALLAS_APPLY=1.
-        object.__setattr__(
-            ns, "_use_pallas_apply",
-            want and on_tpu and bool(_os.environ.get("X3D2_PALLAS_APPLY")))
         # build the transform-fused projection matrices eagerly -- creating
         # device constants inside a jit trace would leak tracers
         ns._fused_pressure_mats()
@@ -330,35 +327,6 @@ class NavierStokes:
         d["gy_is"] = mk(np.concatenate([oy.interpl_p2v.M64 @ i64[1],
                                         oy.stagder_p2v.M64 @ i64[1]]))
 
-        # On TPU, wrap the projection matmuls in the generic Pallas apply
-        # (avoids the XLA transposes einsum inserts for axis-1/2
-        # contractions); einsum remains the fallback for non-tileable
-        # shapes and CPU.
-        if getattr(self, "_use_pallas_apply", False):
-            from .common import DataLoc
-            from .ops.pallas_transeq import make_pallas_apply
-            nv = self.mesh.dims(DataLoc.VERT)
-            nc = self.mesh.dims(DataLoc.CELL)
-            sh_x = (nc[0], nv[1], nv[2])   # after the div x stage
-            sh_xy = (nc[0], nc[1], nv[2])  # after the div y stage
-            sh_pz = (nc[0], nc[1], nv[2])  # gradient z-stage output half
-            stages = [
-                ("sx", 0, nv), ("ix", 0, nv),
-                ("iy", 1, sh_x), ("sy", 1, sh_x),
-                ("iz", 2, sh_xy), ("sz", 2, sh_xy),
-                ("gz_is", 2, nc),
-                ("gy_is", 1, sh_pz), ("gy_i", 1, sh_pz),
-                ("gx_s", 0, (nc[0], nv[1], nv[2])),
-                ("gx_i", 0, (nc[0], nv[1], nv[2])),
-            ]
-            for name, axis, shp in stages:
-                try:
-                    M = d[name]
-                    d["app_" + name] = make_pallas_apply(
-                        np.asarray(M), axis, tuple(shp),
-                        n_out=M.shape[0])
-                except ValueError:
-                    pass
         object.__setattr__(self, "_fp_cache", d)
         return d
 
@@ -387,9 +355,9 @@ class NavierStokes:
             return u - dpdx, v - dpdy, w - dpdz, p
 
         po = self.poisson
+
         def ap(name, t, axis):
-            f = d.get("app_" + name)
-            return f(t) if f is not None else apply_matrix(d[name], t, axis)
+            return apply_matrix(d[name], t, axis)
 
         # divergence in the spectral basis (transform-fused stages)
         du = ap("sx", u, 0)
