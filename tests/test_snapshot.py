@@ -70,6 +70,50 @@ def test_snapshot_vti_and_pvd(tmp_path):
     assert "step_000002.vti" in pvd and "step_000004.vti" in pvd
 
 
+def test_snapshot_vtr_for_stretched_mesh(tmp_path):
+    """Stretched-y channel snapshots must be RectilinearGrid (.vtr) with
+    the true clustered wall coordinates — ImageData's uniform Spacing
+    would misplace them (reference snapshot_manager.f90:245-285)."""
+    os.chdir(tmp_path)
+    from x3d2_tpu.cases import ChannelCase
+    from x3d2_tpu.config import ChannelConfig
+    mesh = Mesh((16, 17, 16), (4.0, 2.0, 2.0),
+                ((BC.PERIODIC, BC.PERIODIC),
+                 (BC.DIRICHLET, BC.DIRICHLET),
+                 (BC.PERIODIC, BC.PERIODIC)),
+                stretching=("uniform", "top-bottom", "uniform"),
+                beta=(0.0, 0.259, 0.0))
+    params = SolverParams(Re=4200.0, time_intg="RK2", dt=1e-3)
+    case = ChannelCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                       verbose=False,
+                       case_cfg=ChannelConfig(init_noise=(0.0, 0.0, 0.0)))
+    ck = CheckpointConfig(snapshot_freq=1,
+                          snapshot_prefix=str(tmp_path / "chan"),
+                          output_stride=(1, 1, 1))
+    io = IOManager(case, ck, StatsConfig())
+    case.run(n_iters=1, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+    d = str(tmp_path / "chan_out")
+    files = os.listdir(d)
+    assert "step_000001.vtr" in files
+    assert not any(f.endswith(".vti") for f in files)
+
+    tree = ET.parse(os.path.join(d, "step_000001.vtr"))
+    root = tree.getroot()
+    assert root.get("type") == "RectilinearGrid"
+    coords = {da.get("Name"): da.text
+              for da in root.findall(".//Coordinates/DataArray")}
+    raw = base64.b64decode(coords["Y"].strip())
+    n = struct.unpack("<I", raw[:4])[0]
+    y = np.frombuffer(raw[4:4 + n], np.float32)
+    assert np.allclose(y, np.asarray(mesh.geo[1].vert_coords, np.float32))
+    # clustered: wall spacing much smaller than centre spacing
+    dy = np.diff(y)
+    assert dy[0] < 0.5 * dy[len(dy) // 2]
+    # PVD points at the vtr
+    assert "step_000001.vtr" in open(str(tmp_path / "chan.pvd")).read()
+
+
 def test_stats_written_with_derived(tmp_path):
     os.chdir(tmp_path)
     mesh = Mesh((12, 12, 12), (2 * np.pi,) * 3,

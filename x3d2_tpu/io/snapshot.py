@@ -86,8 +86,14 @@ class SnapshotManager:
         with open(tmp, "wb") as fh:
             np.savez(fh, time=time, timestep=timestep, **data)
         os.replace(tmp, path)
-        vti = self._write_vti(data, timestep)
-        self.steps.append((timestep, time, os.path.basename(vti)))
+        # stretched meshes need explicit per-axis coordinates: emit
+        # RectilinearGrid (.vtr); uniform meshes keep the lighter .vti
+        # (reference generate_vtk_xml, snapshot_manager.f90:245-285)
+        if any(self.case.mesh.stretched):
+            vtk = self._write_vtr(data, timestep)
+        else:
+            vtk = self._write_vti(data, timestep)
+        self.steps.append((timestep, time, os.path.basename(vtk)))
         self._write_pvd()
         if self.verbose:
             print(f"Snapshot written: {path} fields={sorted(data)}")
@@ -120,6 +126,52 @@ class SnapshotManager:
       </PointData>
     </Piece>
   </ImageData>
+</VTKFile>
+"""
+        with open(path, "w") as fh:
+            fh.write(xml)
+        return path
+
+    def _write_vtr(self, data, timestep):
+        """VTK XML RectilinearGrid with the true (strided) vertex
+        coordinates — required for stretched axes, where ImageData's
+        uniform Spacing would misplace the clustered wall points."""
+        mesh = self.case.mesh
+        s = self.config.output_stride
+        path = os.path.join(self._dir, f"step_{timestep:06d}.vtr")
+        shape = next(iter(data.values())).shape
+        nx, ny, nz = shape[:3]
+        coords = []
+        for a, n in enumerate((nx, ny, nz)):
+            c = np.asarray(mesh.geo[a].vert_coords,
+                           np.float32)[::max(1, int(s[a]))][:n]
+            coords.append(
+                f'<DataArray type="Float32" Name="{"XYZ"[a]}" '
+                f'format="binary">{native.vtk_b64(np.ascontiguousarray(c))}'
+                '</DataArray>')
+        arrays = []
+        for name, arr in data.items():
+            a32 = np.ascontiguousarray(
+                np.transpose(arr, (2, 1, 0)), dtype=np.float32)
+            b64 = native.vtk_b64(a32)
+            arrays.append(
+                f'<DataArray type="Float32" Name="{name}" '
+                f'format="binary">{b64}</DataArray>')
+        ext = f"0 {nx - 1} 0 {ny - 1} 0 {nz - 1}"
+        xml = f"""<?xml version="1.0"?>
+<VTKFile type="RectilinearGrid" version="1.0" byte_order="LittleEndian" header_type="UInt32">
+  <RectilinearGrid WholeExtent="{ext}">
+    <Piece Extent="{ext}">
+      <Coordinates>
+{coords[0]}
+{coords[1]}
+{coords[2]}
+      </Coordinates>
+      <PointData>
+{chr(10).join(arrays)}
+      </PointData>
+    </Piece>
+  </RectilinearGrid>
 </VTKFile>
 """
         with open(path, "w") as fh:

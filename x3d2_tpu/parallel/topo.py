@@ -28,7 +28,12 @@ def make_device_mesh(nproc_y: int, nproc_z: int, devices=None) -> DeviceMesh:
     """2-D device mesh over (y, z), like the reference's nproc_dir with
     nproc_dir(1)==1 (x kept whole)."""
     if devices is None:
-        devices = jax.devices()
+        # honour a pinned jax_default_device (e.g. the CPU backend under
+        # the axon relay, tests/conftest.py): build the mesh from that
+        # platform's devices, not the global default list
+        dd = jax.config.jax_default_device
+        devices = (jax.devices(dd.platform) if dd is not None
+                   else jax.devices())
     n = nproc_y * nproc_z
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
