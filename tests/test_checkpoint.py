@@ -51,6 +51,42 @@ def test_ab_checkpoint_bit_exact_restart(tmp_path):
         assert np.max(np.abs(np.asarray(oa) - np.asarray(ob))) < 1e-15
 
 
+def test_compensated_checkpoint_bit_exact_restart(tmp_path):
+    """The Kahan compensation arrays are part of the state and must
+    restore bit-exactly for the continued trajectory to match."""
+    prefix = str(tmp_path / "kck")
+    mesh = Mesh((16, 16, 16), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
+                          compensated=True)
+
+    def mk():
+        return TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
+                       verbose=False)
+
+    case_a = mk()
+    ck = CheckpointConfig(checkpoint_freq=5, checkpoint_prefix=prefix,
+                          keep_checkpoint=True)
+    io_a = IOManager(case_a, ck, StatsConfig())
+    state_a = case_a.run(n_iters=10, state=case_a.initial_state(),
+                         n_output=10**9, io_manager=io_a)
+    assert "comp" in state_a
+
+    case_b = mk()
+    ck2 = CheckpointConfig(restart_from_checkpoint=True,
+                           restart_file=f"{prefix}_000005.npz",
+                           checkpoint_prefix=prefix)
+    io_b = IOManager(case_b, ck2, StatsConfig())
+    state_b = io_b.handle_restart(case_b.initial_state())
+    state_b = case_b.run(n_iters=5, state=state_b, n_output=10**9)
+
+    for k in ("u", "v", "w"):
+        d = np.max(np.abs(np.asarray(state_a[k]) - np.asarray(state_b[k])))
+        assert d == 0.0, (k, d)
+    for ca, cb in zip(state_a["comp"], state_b["comp"]):
+        assert np.array_equal(np.asarray(ca), np.asarray(cb))
+
+
 def test_checkpoint_cleanup_and_latest(tmp_path):
     prefix = str(tmp_path / "c")
     ck = CheckpointConfig(checkpoint_freq=2, checkpoint_prefix=prefix,

@@ -53,6 +53,34 @@ def test_order_of_convergence(name, order):
     assert rate > order - 0.45, (name, rate, e1, e2)
 
 
+def test_kahan_compensated_accumulation_beats_plain():
+    """ab_step_compensated must track the f64 trajectory much closer
+    than plain f32 accumulation when increments are small relative to
+    the state (the long-run KE-drift regime; VERDICT round-1 item 4)."""
+    ti = TimeIntegrator("AB3")
+    rng = np.random.default_rng(3)
+    r64 = [rng.normal(size=(4, 4, 4)) for _ in range(600)]
+    dt = 1e-4
+
+    y64 = (jnp.asarray(np.ones((4, 4, 4))),)
+    olds64 = ((jnp.zeros((4, 4, 4), jnp.float64),) * 2,)
+    y32 = (jnp.ones((4, 4, 4), jnp.float32),)
+    olds32 = ((jnp.zeros((4, 4, 4), jnp.float32),) * 2,)
+    yk, oldsk = y32, olds32
+    comp = (jnp.zeros((4, 4, 4), jnp.float32),)
+    for i, r in enumerate(r64):
+        istep = jnp.asarray(i + 3, jnp.int32)
+        y64, olds64 = ti.ab_step(y64, olds64, istep,
+                                 (jnp.asarray(r),), dt)
+        r32 = (jnp.asarray(r, jnp.float32),)
+        y32, olds32 = ti.ab_step(y32, olds32, istep, r32, dt)
+        yk, oldsk, comp = ti.ab_step_compensated(yk, oldsk, comp, istep,
+                                                 r32, dt)
+    e_plain = float(jnp.max(jnp.abs(y32[0].astype(jnp.float64) - y64[0])))
+    e_kahan = float(jnp.max(jnp.abs(yk[0].astype(jnp.float64) - y64[0])))
+    assert e_kahan < 0.2 * e_plain, (e_plain, e_kahan)
+
+
 def test_ab3_exact_coefficients():
     """AB3 step must reproduce the closed-form update with the reference
     coefficients 23/12, -4/3, 5/12 (time_integrator.f90:114-115)."""

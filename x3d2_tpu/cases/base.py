@@ -49,6 +49,11 @@ class SolverParams:
     lowmem_transeq: bool = False  # accepted for config parity; the jitted
     lowmem_fft: bool = False      # step has a single memory plan under XLA
     ibm_on: bool = False
+    # Kahan-compensated f32 state accumulation (AB schemes): recovers the
+    # rounding error of each velocity update so long runs keep f64-grade
+    # energy trajectories without TPU-emulated f64 streaming (the
+    # reference simply defaults to f64 state, common.f90:6-16)
+    compensated: bool = False
 
 
 class BaseCase:
@@ -145,6 +150,9 @@ class BaseCase:
             if nsp:
                 tmpl = tmpl + (state["phi"],)
             state["olds"] = self.ti.empty_olds(tmpl)
+            if self.params.compensated:
+                state["comp"] = tuple(jnp.zeros(f.shape, f.dtype)
+                                      for f in tmpl)
         return state
 
     def _rhs(self, fields, istep):
@@ -159,13 +167,26 @@ class BaseCase:
             rhs = rhs + (jnp.stack(drhs),)
         return self.forcings(rhs, fields, istep)
 
-    def _substage_post(self, fields, bc_data, gdt, istep):
-        """apply_BC -> IBM -> pressure_correction, one substage tail."""
+    def _substage_post(self, fields, bc_data, gdt, istep, comp=None):
+        """apply_BC -> IBM -> pressure_correction, one substage tail.
+        With `comp`, the velocity correction u -= grad(p) accumulates
+        through the Kahan compensation carried in the state."""
         fields = self.apply_bc(fields, bc_data, gdt, istep)
         fields = self.body(fields)
-        u, v, w, p = self.solver.pressure_correction(
+        if comp is None:
+            u, v, w, p = self.solver.pressure_correction(
+                *fields[:3], keep_pressure=self.keep_pressure)
+            return (u, v, w) + tuple(fields[3:]), p, None
+        from ..time_integrators import kahan_add
+        dpdx, dpdy, dpdz, p = self.solver.pressure_grads(
             *fields[:3], keep_pressure=self.keep_pressure)
-        return (u, v, w) + tuple(fields[3:]), p
+        outs, newc = [], []
+        for f, g, c in zip(fields[:3], (dpdx, dpdy, dpdz), comp[:3]):
+            t, c2 = kahan_add(f, -g, c)
+            outs.append(t)
+            newc.append(c2)
+        return tuple(outs) + tuple(fields[3:]), p, tuple(newc) + tuple(
+            comp[3:])
 
     def step_fn(self, state):
         """One full time step (all substages) - jit-compiled once.
@@ -184,11 +205,18 @@ class BaseCase:
             key, sub = jax.random.split(key)
             fields, bc_data = self.define_bc(fields, sub, istep)
             rhs = self._rhs(fields, istep)
-            fields, olds = self.ti.ab_step(fields, state["olds"], istep,
-                                           rhs, dt)
-            fields, p = self._substage_post(fields, bc_data,
-                                            self.ti.gdt(dt, 0), istep)
-            new = {"olds": olds}
+            if "comp" in state:
+                fields, olds, comp = self.ti.ab_step_compensated(
+                    fields, state["olds"], state["comp"], istep, rhs, dt)
+                fields, p, comp = self._substage_post(
+                    fields, bc_data, self.ti.gdt(dt, 0), istep, comp=comp)
+                new = {"olds": olds, "comp": comp}
+            else:
+                fields, olds = self.ti.ab_step(fields, state["olds"],
+                                               istep, rhs, dt)
+                fields, p, _ = self._substage_post(fields, bc_data,
+                                                   self.ti.gdt(dt, 0), istep)
+                new = {"olds": olds}
         else:  # RK
             fields0 = None
             ks = []
@@ -202,7 +230,7 @@ class BaseCase:
                 rhs = self._rhs(fields, istep)
                 ks.append(rhs)
                 fields = self.ti.rk_substage(fields0, ks, istage, dt)
-                fields, p = self._substage_post(
+                fields, p, _ = self._substage_post(
                     fields, bc_data, self.ti.gdt(dt, istage), istep)
             new = {}
             if "olds" in state:

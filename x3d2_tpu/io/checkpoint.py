@@ -50,6 +50,9 @@ class CheckpointManager:
                 arrays[f"olds_{i}"] = (np.stack([np.asarray(a) for a in o])
                                        if len(o) else np.zeros((0,)))
             arrays["n_olds_vars"] = np.asarray(len(state["olds"]))
+        if "comp" in state:
+            for i, c in enumerate(state["comp"]):
+                arrays[f"comp_{i}"] = np.asarray(c)
         arrays["timestep"] = np.asarray(timestep)
         arrays["time"] = np.asarray(time)
         arrays["dt"] = np.asarray(dt)
@@ -110,6 +113,11 @@ class CheckpointManager:
                 tuple(jnp.asarray(z[f"olds_{i}"][j], dtype)
                       for j in range(z[f"olds_{i}"].shape[0]))
                 for i in range(n))
+        if "comp" in state:
+            new["comp"] = tuple(
+                jnp.asarray(z[f"comp_{i}"], dtype)
+                if f"comp_{i}" in z else jnp.zeros_like(state["comp"][i])
+                for i in range(len(state["comp"])))
         timestep = int(z["timestep"])
         new["istep"] = jnp.asarray(timestep + 1, new["istep"].dtype)
         stats = {k[len("stats_"):]: z[k] for k in z.files

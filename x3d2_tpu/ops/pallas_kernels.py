@@ -45,51 +45,73 @@ from .pallas_transeq import banded_blocks
 _BF = jnp.bfloat16
 
 
-def split_hi_lo(M: np.ndarray):
-    """Host-side f32 -> (hi, lo) bfloat16 split (numpy)."""
+def split_hi_lo(M: np.ndarray, terms: int = 2):
+    """Host-side f32 -> `terms` bfloat16 parts (numpy). 2 parts capture
+    ~16 mantissa bits (the HIGH decomposition); 3 capture all 24
+    (HIGHEST)."""
     M32 = np.asarray(M, np.float32)
-    hi = M32.astype(jnp.bfloat16)
-    lo = (M32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-    return np.asarray(hi), np.asarray(lo)
+    parts = []
+    rem = M32
+    for _ in range(terms):
+        p = rem.astype(jnp.bfloat16)
+        rem = rem - np.asarray(p, np.float32)
+        parts.append(np.asarray(p))
+    return tuple(parts)
 
 
-def _split(x):
-    """In-kernel f32 -> (hi, lo) bf16 split."""
-    hi = x.astype(_BF)
-    lo = (x - hi.astype(x.dtype)).astype(_BF)
-    return hi, lo
+def _split(x, terms: int = 2):
+    """In-kernel f32 -> `terms` bf16 parts."""
+    parts = []
+    rem = x
+    for _ in range(terms):
+        p = rem.astype(_BF)
+        rem = rem - p.astype(x.dtype)
+        parts.append(p)
+    return tuple(parts)
+
+
+def _dot_split(Ms, xs, dn, prec=jax.lax.Precision.DEFAULT):
+    """Multi-term bf16 contraction of split operands, keeping the cross
+    products whose combined order matters: with 2+2 parts this is bf16x3
+    (== Precision.HIGH, drops lo*lo); with 3+3 parts bf16x6
+    (== Precision.HIGHEST, keeps terms of order <= hi*lo2)."""
+    nM, nx = len(Ms), len(xs)
+    # keep terms with combined order <= terms-1: 2+2 parts -> 3 products
+    # (hh, hl, lh == HIGH); 3+3 parts -> 6 products (== HIGHEST)
+    keep = min(nM, nx) - 1
+    acc = None
+    for i in range(nM):
+        for j in range(nx):
+            if i + j > keep:
+                continue
+            t = jax.lax.dot_general(Ms[i], xs[j], dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+            acc = t if acc is None else acc + t
+    return acc
 
 
 def _dot3(Mh, Ml, xh, xl, dn, prec=jax.lax.Precision.DEFAULT):
     """bf16x3 contraction: (Mh+Ml) @ (xh+xl) dropping the lo*lo term.
     Equivalent to one Precision.HIGH f32 dot; 3 full-rate MXU passes."""
-    acc = jax.lax.dot_general(Mh, xh, dimension_numbers=dn,
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
-    acc += jax.lax.dot_general(Mh, xl, dimension_numbers=dn,
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
-    acc += jax.lax.dot_general(Ml, xh, dimension_numbers=dn,
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
-    return acc
+    return _dot_split((Mh, Ml), (xh, xl), dn, prec)
 
 
-def _contract3(Mh, Ml, xh, xl, axis, bs_out):
-    """Apply a (rows, win) matrix along `axis` of a 3-D tile via bf16x3.
-    x is given as hi/lo with `win` extent along axis."""
+def _contract_split(Ms, xs, axis):
+    """Apply a split (rows, win) matrix along `axis` of a split 3-D tile
+    (bf16x3 for 2-part splits, bf16x6 for 3-part)."""
     dn_l = (((1,), (0,)), ((), ()))   # M @ flat
     if axis == 0:
-        sh = xh.shape
-        r = _dot3(Mh, Ml, xh.reshape(sh[0], -1), xl.reshape(sh[0], -1), dn_l)
-        return r.reshape((Mh.shape[0],) + sh[1:])
+        sh = xs[0].shape
+        r = _dot_split(Ms, tuple(x.reshape(sh[0], -1) for x in xs), dn_l)
+        return r.reshape((Ms[0].shape[0],) + sh[1:])
     if axis == 2:
         dn = (((2,), (1,)), ((), ()))  # f @ M^T, contract lane dim
-        return _dot3(xh, xl, Mh, Ml, dn)
+        return _dot_split(xs, Ms, dn)
     # axis == 1: unroll the (small) leading dim; 2-D dots avoid in-kernel
     # 3-D transposes which Mosaic handles poorly
-    rows = [_dot3(Mh, Ml, xh[i], xl[i], dn_l)[None]
-            for i in range(xh.shape[0])]
+    rows = [_dot_split(Ms, tuple(x[i] for x in xs), dn_l)[None]
+            for i in range(xs[0].shape[0])]
     return jnp.concatenate(rows, axis=0)
 
 
@@ -128,9 +150,10 @@ def _stack_banded(op_pair, w, bs):
 # ---------------------------------------------------------------------------
 
 
-def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate):
+def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
+                       terms=2):
     """refs layout: [acc_u, acc_v, acc_w]? + nstream blocks per field * 3
-    + 8 matrix refs + 3 outputs."""
+    + 4*terms matrix refs (sa, st, da, dt split parts) + 3 outputs."""
     i = 0
     accs = None
     if accumulate:
@@ -140,9 +163,9 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate):
     for _ in range(3):
         fields.append(refs[i:i + nstream])
         i += nstream
-    (sa_h_ref, sa_l_ref, st_h_ref, st_l_ref,
-     da_h_ref, da_l_ref, dt_h_ref, dt_l_ref) = refs[i:i + 8]
-    outs = refs[i + 8:i + 11]
+    nm = 4 * terms
+    mat_refs = refs[i:i + nm]
+    outs = refs[i + nm:i + nm + 3]
     b = pl.program_id(2)
 
     def window(parts):
@@ -170,28 +193,25 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate):
     else:
         conv = mids[axis]
 
-    sa_h, sa_l = sa_h_ref[b], sa_l_ref[b]
-    st_h, st_l = st_h_ref[b], st_l_ref[b]
-    da_h, da_l = da_h_ref[b], da_l_ref[b]
-    dt_h, dt_l = dt_h_ref[b], dt_l_ref[b]
+    sa = tuple(m[b] for m in mat_refs[0:terms])
+    st = tuple(m[b] for m in mat_refs[terms:2 * terms])
+    da = tuple(m[b] for m in mat_refs[2 * terms:3 * terms])
+    dt = tuple(m[b] for m in mat_refs[3 * terms:4 * terms])
 
     for c in range(3):
         q = wins[c]
-        qh, ql = _split(q)
+        qs = _split(q, terms)
         p = q * convw
-        ph, pl_ = _split(p)
-        if c == axis:
-            Sh, Sl, Dh, Dl = sa_h, sa_l, da_h, da_l
-        else:
-            Sh, Sl, Dh, Dl = st_h, st_l, dt_h, dt_l
-        stacked = _contract3(Sh, Sl, qh, ql, axis, bs)
+        ps = _split(p, terms)
+        S, D = (sa, da) if c == axis else (st, dt)
+        stacked = _contract_split(S, qs, axis)
         sl1 = [slice(None)] * 3
         sl1[axis] = slice(0, bs)
         sl2 = [slice(None)] * 3
         sl2[axis] = slice(bs, 2 * bs)
         dq = stacked[tuple(sl1)]
         d2q = stacked[tuple(sl2)]
-        dqd = _contract3(Dh, Dl, ph, pl_, axis, bs)
+        dqd = _contract_split(D, ps, axis)
         r = -0.5 * (conv * dq + dqd) + nu * d2q
         if accumulate:
             r = r + accs[c][...]
@@ -199,7 +219,8 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate):
 
 
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
-                        free=None, accumulate=False, interpret=False):
+                        free=None, accumulate=False, interpret=False,
+                        terms=2):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
 
     Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
@@ -209,7 +230,11 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     if bs is None:
         bs = 128 if lane else 64
     if w is None:
-        w = 64 if lane else 16
+        # non-lane axes: K pads to 128 either way, so w only costs read
+        # traffic (1.5x at 16, 2x at 32). bf16x6 mode earns the wider
+        # band: truncation drops from 1.9e-7 to 3.8e-14, below its
+        # matmul noise.
+        w = 64 if lane else (32 if terms >= 3 else 16)
     nstream = 2 if lane else 3
     if lane and 2 * w > bs:
         raise ValueError("lane axis needs w <= bs/2")
@@ -227,11 +252,16 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     dt = banded_blocks(d1, w, bs, tol=_BAND_TOL)
     mats = []
     for M in (sa, st, da, dt):
-        hi, lo = split_hi_lo(M)
-        mats += [jnp.asarray(hi), jnp.asarray(lo)]
+        mats += [jnp.asarray(p) for p in split_hi_lo(M, terms)]
 
     other = [a for a in range(3) if a != axis]
-    t0, t1 = free if free is not None else _free_dims(axis)
+    if free is None:
+        free = _free_dims(axis)
+        if terms >= 3:
+            # bf16x6 doubles the resident matrix parts and widens the
+            # halo streams; halve the leading tile to stay under VMEM
+            free = (max(4, free[0] // 2), free[1])
+    t0, t1 = free
     if shape[other[0]] % t0 or shape[other[1]] % t1:
         raise ValueError(f"shape {shape} free dims not tileable")
 
@@ -277,10 +307,10 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_transeq_kernel_v3, axis=axis, nu=float(nu),
                              w=w, bs=bs, nstream=nstream,
-                             accumulate=accumulate)
+                             accumulate=accumulate, terms=terms)
 
     in_specs = ([out_spec] * 3 if accumulate else []) \
-        + fspecs * 3 + [sspec] * 4 + [dspec] * 4
+        + fspecs * 3 + [sspec] * (2 * terms) + [dspec] * (2 * terms)
     aliases = {0: 0, 1: 1, 2: 2} if accumulate else {}
 
     def fn(u, v, w_, acc=None):
@@ -304,17 +334,20 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     return fn
 
 
-def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False):
+def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
+                          terms=2):
     """Full transeq: three accumulated direction sweeps.
-    fn(u, v, w) -> (du, dv, dw) summed over directions."""
+    fn(u, v, w) -> (du, dv, dw) summed over directions.
+    terms=2 -> bf16x3 (Precision.HIGH); terms=3 -> bf16x6 (HIGHEST, the
+    KE-parity mode, ~2x the matmul cost)."""
     cfgs = cfgs or {}
-    d2 = make_transeq_dir_v3(solver_ops[2], nu, 2, shape,
+    d2 = make_transeq_dir_v3(solver_ops[2], nu, 2, shape, terms=terms,
                              accumulate=False, interpret=interpret,
                              **cfgs.get(2, {}))
-    d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape,
+    d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape, terms=terms,
                              accumulate=True, interpret=interpret,
                              **cfgs.get(0, {}))
-    d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape,
+    d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
                              accumulate=True, interpret=interpret,
                              **cfgs.get(1, {}))
 

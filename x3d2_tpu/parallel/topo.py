@@ -66,8 +66,8 @@ def state_shardings(dmesh: DeviceMesh, state) -> dict:
     for k, v in state.items():
         if k in ("u", "v", "w", "p", "phi"):
             out[k] = fsh(v)
-        elif k == "olds":
-            # olds is a pytree matching fields with a leading history axis
+        elif k in ("olds", "comp"):
+            # pytrees of field-shaped arrays (AB history / Kahan comps)
             out[k] = jax.tree_util.tree_map(fsh, v)
         else:  # scalars (istep, key)
             out[k] = NamedSharding(dmesh, P())

@@ -112,9 +112,14 @@ class NavierStokes:
             if transeq_v3_supported(ns, shape):
                 # v3: banded bf16x3 direction sweeps with roll-free
                 # 3-stream windows and cross-direction accumulation
-                # (512^3 transeq: 43.6 ms vs 99 ms for the v1 kernels)
+                # (512^3 transeq: 43.6 ms vs 99 ms for the v1 kernels).
+                # X3D2_MATMUL_PRECISION=highest selects bf16x6 kernels
+                # (the KE-parity mode: drift ~6e-11/step vs ~8e-9 at HIGH)
+                from .ops.compact import PRECISION
+                terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
                 object.__setattr__(ns, "_transeq_v3",
-                                   make_fused_transeq_v3(ns.ops, nu, shape))
+                                   make_fused_transeq_v3(ns.ops, nu, shape,
+                                                         terms=terms))
             elif fused_transeq_supported(ns, shape):
                 # v1 dense fused kernel (HIGHEST): non-128-multiple shapes
                 # <= 256 that v3's block sizes cannot tile
@@ -330,10 +335,11 @@ class NavierStokes:
         object.__setattr__(self, "_fp_cache", d)
         return d
 
-    def pressure_correction(self, u, v, w, keep_pressure=True):
-        """Fractional-step projection (solver.f90:693-739): returns the
-        divergence-free velocity and the pseudo-pressure field (CELL grid,
-        scaled by dt like the reference; rescale p/dt only for output).
+    def pressure_grads(self, u, v, w, keep_pressure=True):
+        """Pressure-gradient stage of the fractional-step projection:
+        returns (dpdx, dpdy, dpdz, p) so callers can apply the velocity
+        correction themselves (e.g. with Kahan-compensated accumulation,
+        cases/base.py).
 
         With the matmul Poisson, the spectral transforms are folded into
         the div/grad matrices (see _fused_pressure_mats). Reconstructing
@@ -352,7 +358,7 @@ class NavierStokes:
             div_u = self.divergence_v2p(u, v, w)
             p = self.poisson(div_u)
             dpdx, dpdy, dpdz = self.gradient_p2v(p)
-            return u - dpdx, v - dpdy, w - dpdz, p
+            return dpdx, dpdy, dpdz, p
 
         po = self.poisson
 
@@ -389,4 +395,12 @@ class NavierStokes:
                 p = apply_matrix(po.Ti[a], p, a)
         else:
             p = q
+        return dpdx, dpdy, dpdz, p
+
+    def pressure_correction(self, u, v, w, keep_pressure=True):
+        """Fractional-step projection (solver.f90:693-739): returns the
+        divergence-free velocity and the pseudo-pressure field (CELL grid,
+        scaled by dt like the reference; rescale p/dt only for output)."""
+        dpdx, dpdy, dpdz, p = self.pressure_grads(
+            u, v, w, keep_pressure=keep_pressure)
         return u - dpdx, v - dpdy, w - dpdz, p

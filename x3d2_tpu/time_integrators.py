@@ -19,6 +19,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def kahan_add(x, inc, c):
+    """One compensated accumulation step: returns (x + inc, c') where c'
+    carries the rounding error of the addition (Kahan summation). XLA
+    does not reassociate float arithmetic, so the cancellation pattern
+    survives compilation."""
+    y = inc - c
+    t = x + y
+    c_new = (t - x) - y
+    return t, c_new
+
+
 # AB coefficients (time_integrator.f90:108-118); row k = AB(k+1)
 AB_COEFFS = np.array([
     [1.0, 0.0, 0.0, 0.0],
@@ -74,6 +85,36 @@ class TimeIntegrator:
         return float(RK_B[self.order][istage]) * dt
 
     # ------------------------------------------------------------------
+    def ab_step_compensated(self, fields, olds, comp, istep, rhs, dt):
+        """AB step with Kahan-compensated state accumulation: the running
+        compensation `comp` (one array per field) recovers the low-order
+        bits the f32 state addition drops each step. This is the
+        TPU-native substitute for the reference's f64 state
+        (common.f90:6-16): f64 streaming on TPU is ~10x slower than f32,
+        while the compensation costs two extra f32 passes. Returns
+        (new_fields, new_olds, new_comp)."""
+        order = self.order
+        nstep = jnp.minimum(istep, order)
+        dtype = jax.tree_util.tree_leaves(fields)[0].dtype
+        coeffs = jnp.asarray(AB_COEFFS.astype(np.float64),
+                             dtype=dtype)[nstep - 1]
+
+        def upd(f, r, o, c):
+            inc = dt * coeffs[0] * r
+            for j in range(order - 1):
+                inc = inc + dt * coeffs[j + 1] * o[j]
+            return kahan_add(f, inc, c)
+
+        pairs = [upd(f, r, o, c)
+                 for f, r, o, c in zip(fields, rhs, olds, comp)]
+        new_fields = tuple(p[0] for p in pairs)
+        new_comp = tuple(p[1] for p in pairs)
+        if self.nolds == 0:
+            new_olds = olds
+        else:
+            new_olds = tuple((r,) + o[:-1] for r, o in zip(rhs, olds))
+        return new_fields, new_olds, new_comp
+
     def ab_step(self, fields, olds, istep, rhs, dt):
         """One AB step. `fields`/`rhs` are tuples of arrays; `olds` is a
         matching tuple whose entries are (nolds,)-tuples of arrays (the
