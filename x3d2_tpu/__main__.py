@@ -37,7 +37,17 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--mesh", type=int, nargs=2, metavar=("NY", "NZ"),
                         help="shard over an NYxNZ device mesh")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator host:port "
+                             "(or set JAX_COORDINATOR_ADDRESS / "
+                             "JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
     args = parser.parse_args(argv)
+
+    # multi-host: must run before any jax backend use (the analogue of
+    # the reference's MPI_Init, xcompact.f90:48-61); after this
+    # jax.devices() is the GLOBAL device list across all hosts
+    from .parallel.multihost import is_primary, maybe_init_distributed
+    distributed = maybe_init_distributed(coordinator=args.coordinator)
 
     import jax
     import jax.numpy as jnp
@@ -48,16 +58,28 @@ def main(argv=None):
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
-    case = make_case(cfg, dtype, seed=args.seed)
+    case = make_case(cfg, dtype, seed=args.seed,
+                     verbose=is_primary())
     # physical pressure only reconstructed when output requests it
     case.keep_pressure = (cfg.checkpoint.has_output_field("pressure")
                           or cfg.stats.initstat > 0)
-    print(f"Flow case: {case.name}; grid {cfg.domain.dims_global}; "
-          f"{cfg.solver.time_intg}, dt={cfg.solver.dt}, "
-          f"Re={cfg.solver.Re}, {len(jax.devices())} device(s)")
+    if is_primary():
+        print(f"Flow case: {case.name}; grid {cfg.domain.dims_global}; "
+              f"{cfg.solver.time_intg}, dt={cfg.solver.dt}, "
+              f"Re={cfg.solver.Re}, {len(jax.devices())} device(s), "
+              f"{jax.process_count()} process(es)")
 
     from .io.manager import IOManager
     io_mgr = IOManager(case, cfg.checkpoint, cfg.stats)
+
+    if distributed and not args.mesh:
+        # multi-host default: factor the global device count into (y, z)
+        # like the reference's nproc_dir fallback (xcompact.f90:69-74)
+        nd = jax.device_count()
+        ny = int(np.sqrt(nd))
+        while nd % ny:
+            ny -= 1
+        args.mesh = (ny, nd // ny)
 
     if args.mesh:
         from .parallel import make_device_mesh, make_sharded_step, shard_state

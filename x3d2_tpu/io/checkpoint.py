@@ -38,21 +38,25 @@ class CheckpointManager:
         return f > 0 and timestep % f == 0
 
     def write(self, state, timestep, time, dt, stats=None, extra=None):
+        # gather_global is collective (all processes participate) and a
+        # plain np.asarray single-process; only process 0 touches the FS
+        from ..parallel.multihost import gather_global, is_primary
         arrays = {}
         for k in ("u", "v", "w", "phi", "key"):
             if k in state:
-                arrays[k] = np.asarray(state[k])
+                arrays[k] = gather_global(state[k])
         if "olds" in state:
             # olds[i] is a (nolds,)-tuple of arrays; stored stacked so the
             # on-disk format matches round 1 (and the reference's "olds"
             # blocks, checkpoint_manager.f90:223-283)
             for i, o in enumerate(state["olds"]):
-                arrays[f"olds_{i}"] = (np.stack([np.asarray(a) for a in o])
+                arrays[f"olds_{i}"] = (np.stack([gather_global(a)
+                                                 for a in o])
                                        if len(o) else np.zeros((0,)))
             arrays["n_olds_vars"] = np.asarray(len(state["olds"]))
         if "comp" in state:
             for i, c in enumerate(state["comp"]):
-                arrays[f"comp_{i}"] = np.asarray(c)
+                arrays[f"comp_{i}"] = gather_global(c)
         arrays["timestep"] = np.asarray(timestep)
         arrays["time"] = np.asarray(time)
         arrays["dt"] = np.asarray(dt)
@@ -64,6 +68,8 @@ class CheckpointManager:
                 arrays[f"extra_{k}"] = np.asarray(v)
 
         fname = self._fname(timestep)
+        if not is_primary():
+            return fname
         # serialise on the main thread; file write + atomic rename happen
         # on the native background writer (checkpoint_manager.f90:296-310
         # temp+mv semantics without blocking the time loop)

@@ -53,6 +53,14 @@ class Monitor:
         self.path = path
         self.verbose = verbose
         self.rows = []
+        # multi-host: observables compute collectively on every process
+        # (their values are replicated); only process 0 writes/prints
+        # (reference scalar_series root-rank pattern)
+        from ..parallel.multihost import is_primary
+        if not is_primary():
+            path = None
+            self.path = None
+            self.verbose = False
         if path is not None:
             mode = "a" if append else "w"
             self._fh = open(path, mode, newline="")

@@ -51,10 +51,11 @@ class SnapshotManager:
         return f > 0 and timestep % f == 0
 
     def write(self, state, timestep, time):
+        from ..parallel.multihost import gather_global, is_primary
         s = self.config.output_stride
 
         def stride(arr):
-            arr = np.asarray(arr)
+            arr = gather_global(arr)
             if self.config.snapshot_sp:
                 # native strided downcast (C++ path, io/native.py)
                 return native.pack_strided(arr, s)
@@ -82,6 +83,8 @@ class SnapshotManager:
                 data[name] = stride(state["phi"][i])
 
         path = os.path.join(self._dir, f"step_{timestep:06d}.npz")
+        if not is_primary():
+            return path
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             np.savez(fh, time=time, timestep=timestep, **data)

@@ -93,7 +93,8 @@ class StatsManager:
     def write(self, timestep):
         """Write means + derived RMS/Reynolds stresses
         (stats.f90:231-246)."""
-        a = {k: np.asarray(v) for k, v in self.acc.items()}
+        from ..parallel.multihost import gather_global, is_primary
+        a = {k: gather_global(v) for k, v in self.acc.items()}
         out = dict(sample_count=self.sample_count,
                    umean=a["umean"], vmean=a["vmean"], wmean=a["wmean"],
                    uprime=np.sqrt(np.maximum(0, a["uumean"] - a["umean"]**2)),
@@ -109,11 +110,13 @@ class StatsManager:
             out["phiprime"] = np.sqrt(
                 np.maximum(0, a["phiphimean"] - a["phimean"] ** 2))
         path = f"{self.config.stats_prefix}_{timestep:06d}.npz"
+        self.last_written = timestep
+        if not is_primary():
+            return path
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             np.savez(fh, **out)
         os.replace(tmp, path)
-        self.last_written = timestep
         if self.verbose:
             print(f"Statistics written: {path} (samples={self.sample_count})")
         return path
