@@ -43,9 +43,44 @@ def test_stretched_poisson_roundtrip(stretching):
     assert np.max(np.abs(err)) < 1e-10, np.max(np.abs(err))
 
 
-def test_bottom_stretching_rejected():
-    with pytest.raises(NotImplementedError):
-        make("bottom")
+def test_bottom_stretching_uses_cg():
+    """'bottom' stretching routes to the CG Poisson solver (the
+    reference's spectral 'bottom' path is untested upstream and our
+    transcription fails the roundtrip; CG solves it to 3e-12) and the
+    resulting solver passes the div(grad) roundtrip."""
+    from x3d2_tpu.ops.cg_poisson import CGPoisson
+    with pytest.warns(UserWarning, match="bottom"):
+        mesh, ns = make("bottom")
+    assert isinstance(ns.poisson, CGPoisson)
+    X, Y, Z = mesh.coord_grids(DataLoc.CELL)
+    f = np.cos(2 * np.pi * X / 4.0) * np.cos(np.pi * Y / 2.0) \
+        * np.cos(2 * np.pi * Z / 2.0)
+    f = np.broadcast_to(f, mesh.dims(DataLoc.CELL)).copy()
+    f -= f.mean()
+    p = ns.poisson(jnp.asarray(f))
+    lap = np.asarray(ns.divergence_v2p(*ns.gradient_p2v(p)))
+    err = lap - f
+    err -= err.mean()
+    assert np.max(np.abs(err)) < 1e-9, np.max(np.abs(err))
+
+
+def test_channel_bottom_end_to_end():
+    """A 'bottom'-stretched channel (one-sided wall clustering) runs the
+    full case loop — no reference-supported input is rejected."""
+    mesh = Mesh((16, 17, 16), (4.0, 2.0, 2.0),
+                ((BC.PERIODIC, BC.PERIODIC),
+                 (BC.DIRICHLET, BC.DIRICHLET),
+                 (BC.PERIODIC, BC.PERIODIC)),
+                stretching=("uniform", "bottom", "uniform"),
+                beta=(1.0, 0.259065151, 1.0))
+    params = SolverParams(Re=4200.0, time_intg="RK3", dt=1e-3)
+    with pytest.warns(UserWarning, match="bottom"):
+        case = ChannelCase(mesh, params, dtype=jnp.float64,
+                           monitor_path=None, verbose=False,
+                           case_cfg=ChannelConfig(
+                               init_noise=(0.01, 0.01, 0.01)))
+    state = case.run(n_iters=3, state=case.initial_state(), n_output=10**9)
+    assert np.isfinite(np.asarray(state["u"])).all()
 
 
 def test_stretched_mesh_metrics():

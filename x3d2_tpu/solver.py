@@ -58,6 +58,18 @@ class NavierStokes:
         from .ops.dirops import build_all_ops
         schemes = schemes or {}
         ops = build_all_ops(mesh, dtype=dtype, **schemes)
+        if (poisson_method in ("matmul", "fft") and mesh.stretched[1]
+                and mesh.geo[1].stretching == "bottom"):
+            # 'bottom' one-sided stretching: the reference codes a spectral
+            # pentadiagonal path for it (poisson_fft.f90:320-422) but ships
+            # no test or example; our transcription fails the div(grad)
+            # roundtrip (4e-2), while the preconditioned BiCGStab solves it
+            # to 3e-12 — so CG is the official 'bottom' path here.
+            import warnings
+            warnings.warn("'bottom' y-stretching: using the CG Poisson "
+                          "solver (spectral path reserved for "
+                          "centred/top-bottom)")
+            poisson_method = "cg"
         if poisson_method == "matmul":
             from .ops.matmul_poisson import MatmulPoisson
             poisson = MatmulPoisson(mesh, ops, dtype=dtype)
