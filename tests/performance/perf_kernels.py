@@ -22,6 +22,11 @@ import numpy as np
 
 import pytest
 
+if __name__ == "__main__":
+    # direct invocation: make the repo importable without PYTHONPATH
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", ".."))
+
 pytestmark = pytest.mark.skipif(
     not os.environ.get("X3D2_PERF"),
     reason="performance benchmarks (set X3D2_PERF=1)")
