@@ -12,6 +12,29 @@ import numpy as np
 import pytest
 
 
+def test_misconfigured_coordinator_raises():
+    """--coordinator without a cluster shape must fail loudly, not run N
+    independent simulations that clobber each other's output."""
+    from x3d2_tpu.parallel.multihost import maybe_init_distributed
+    for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        os.environ.pop(k, None)
+    with pytest.raises(ValueError, match="multi-host requested"):
+        maybe_init_distributed(coordinator="127.0.0.1:1234")
+    assert maybe_init_distributed() is False  # unconfigured: no-op
+
+
+def test_gather_global_passthrough_for_addressable_arrays():
+    """Fully-addressable arrays (single-process state, per-host IBM
+    masks) must pass through unchanged — allgather would concatenate
+    the replicated copies."""
+    import jax.numpy as jnp
+    from x3d2_tpu.parallel.multihost import gather_global
+    x = jnp.arange(12.0).reshape(3, 4)
+    g = gather_global(x)
+    assert g.shape == (3, 4)
+    assert np.array_equal(g, np.asarray(x))
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))

@@ -1,14 +1,24 @@
 #!/usr/bin/env python
 """Component-level wall-clock breakdown on the real chip.
 
-Each timed function is jitted whole and chained through its own output
-(relay caching lies for unchained loops — CLAUDE.md). Usage:
+Timing methodology (CLAUDE.md): each measured function runs `iters`
+chained applications inside ONE jitted lax.fori_loop, and completion is
+forced by a scalar readback — host-level loops through the axon relay
+can both add ms-scale eager overhead and report bogus 0.00 ms times.
 
-    python tools/prof512.py [n] [iters]
+Usage:  python tools/prof512.py [n] [iters]
+
+Note: each timed call pays ~30 ms of relay round-trip, amortised over
+`iters` — numbers at small n carry a ~30/iters ms floor; use iters>=20
+and trust relative comparisons at n>=512.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 import jax
@@ -20,6 +30,7 @@ iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 from x3d2_tpu.common import BC
 from x3d2_tpu.mesh import Mesh
 from x3d2_tpu.cases import SolverParams, TGVCase
+from x3d2_tpu.ops.compact import apply_matrix
 
 mesh = Mesh((n, n, n), (2 * np.pi,) * 3, ((BC.PERIODIC, BC.PERIODIC),) * 3)
 params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3)
@@ -30,92 +41,89 @@ state = case.initial_state()
 u, v, w = state["u"], state["v"], state["w"]
 
 
-def timeit(label, fn, args, chain, flops=None):
-    """fn jitted; `chain(out, args) -> args` feeds output back in."""
-    try:
-        return _timeit(label, fn, args, chain, flops)
-    except jax.errors.JaxRuntimeError as e:
-        print(f"{label:42s}    OOM/err: {str(e)[:60]}")
-        return None
+def loop_time(label, f, args, flops=None, nbytes=None):
+    """Chained fori_loop timing with forced scalar readback."""
+    def looped(args):
+        out = jax.lax.fori_loop(0, iters, lambda i, c: f(*c), args)
+        leaf = next(x for x in jax.tree_util.tree_leaves(out)
+                    if getattr(x, "ndim", 0) == 3)
+        return jnp.sum(leaf[0])  # contiguous-plane readback (cheap)
 
+    def perturb(x, k):
+        # bust potential relay result caching without touching PRNG keys
+        if getattr(x, "ndim", 0) == 3 and jnp.issubdtype(x.dtype,
+                                                         jnp.floating):
+            return x * (1.0 + 1e-6 * k)
+        return x
 
-def _timeit(label, fn, args, chain, flops=None):
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    args2 = chain(out, args)
-    t0 = time.perf_counter()
-    a = args2
-    for _ in range(iters):
-        o = f(*a)
-        a = chain(o, a)
-    jax.block_until_ready(jax.tree_util.tree_leaves(o)[0])
-    ms = (time.perf_counter() - t0) / iters * 1e3
-    tf = f" {flops / ms * 1e-9:.1f} TF/s" if flops else ""
-    print(f"{label:42s} {ms:8.2f} ms{tf}")
+    g = jax.jit(looped)
+    float(g(args))  # compile + warm
+    times = []
+    for k in (2, 3):
+        a = jax.tree_util.tree_map(lambda x: perturb(x, k), args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(a)[0])
+        t0 = time.perf_counter()
+        float(g(a))
+        times.append(time.perf_counter() - t0)
+    ms = min(times) / iters * 1e3
+    extra = ""
+    if flops:
+        extra += f" {flops / ms * 1e-9:.1f} TF/s"
+    if nbytes:
+        extra += f" {nbytes / ms * 1e-6:.0f} GB/s"
+    print(f"{label:44s} {ms:8.2f} ms{extra}")
     return ms
 
 
-def chain3(out, args):
-    # chain only through the first arg to keep peak memory low
-    return (args[0] + 1e-12 * out[0],) + args[1:]
+nb3 = n**3 * 4
+loop_time("XLA elementwise x+eps*x*x (r+w)",
+          lambda x: (x + 1e-7 * x * x,), (u,), nbytes=2 * nb3)
 
-
-# transeq (current path: pallas if enabled)
-timeit("transeq (current)", ns.transeq, (u, v, w), chain3,
-       flops=27 * 2 * n * n**3 * (256 / n if max(n, 256) > 256 else 1))
-
-# transeq pure einsum
-saved = {a: getattr(ns, a, None)
-         for a in ("_pallas_transeq", "_transeq_v3")}
-for a in saved:
-    object.__setattr__(ns, a, None)
-timeit("transeq (einsum dense)", ns.transeq, (u, v, w), chain3,
-       flops=27 * 2 * n**4)
-for a, val in saved.items():
-    object.__setattr__(ns, a, val)
-
-# pressure correction (fused dense)
-timeit("pressure_correction (fused dense)",
-       lambda a, b, c: ns.pressure_correction(a, b, c, keep_pressure=False),
-       (u, v, w), chain3,
-       flops=16 * 2 * n**4)
-
-# poisson solve alone (matmul)
-p0 = jnp.zeros(mesh.global_cell_dims, jnp.float32)
-timeit("matmul poisson solve", ns.poisson, (p0 + 1e-3,),
-       lambda o, a: (o,), flops=6 * 2 * n**4)
-
-# fft poisson solve alone
-from x3d2_tpu.ops.fft_poisson import SpectralPoisson
-fp = SpectralPoisson(mesh, ns.ops, dtype=jnp.float32)
-timeit("fft poisson solve", fp, (p0 + 1e-3,), lambda o, a: (o,))
-
-# raw dense matmul rate per axis
 M = jnp.asarray(np.random.randn(n, n) / n, jnp.float32)
-from x3d2_tpu.ops.compact import apply_matrix
 for ax in range(3):
-    timeit(f"dense apply axis {ax}",
-           lambda f, M=M, ax=ax: apply_matrix(M, f, ax),
-           (u,), lambda o, a: (o,), flops=2 * n**4)
+    loop_time(f"dense apply axis {ax}",
+              lambda f, ax=ax: (apply_matrix(M, f, ax),),
+              (u,), flops=2 * n**4)
 
-# AB3 integrator update alone
+# transeq: flop model depends on the active path
+if getattr(ns, "_transeq_v3", None) is not None:
+    # v3 banded windows: 96 planes on axes 0/1, 256 on the lane axis
+    tr_flops = 9 * 2 * (96 + 96 + 256) * n**3
+    tr_label = "transeq (v3 banded pallas)"
+else:
+    tr_flops = 27 * 2 * n**4
+    tr_label = "transeq (einsum dense)"
+loop_time(tr_label, lambda a, b, c: ns.transeq(a, b, c), (u, v, w),
+          flops=tr_flops)
+
+saved = getattr(ns, "_transeq_v3", None)
+if saved is not None:
+    object.__setattr__(ns, "_transeq_v3", None)
+    loop_time("transeq (einsum dense)",
+              lambda a, b, c: ns.transeq(a, b, c), (u, v, w),
+              flops=27 * 2 * n**4)
+    object.__setattr__(ns, "_transeq_v3", saved)
+
+loop_time("pressure_correction (fused dense)",
+          lambda a, b, c: ns.pressure_correction(
+              a, b, c, keep_pressure=False)[:3],
+          (u, v, w), flops=16 * 2 * n**4)
+loop_time("matmul poisson solve",
+          lambda p: (ns.poisson(p),), (u,), flops=6 * 2 * n**4)
+
+# AB3 update + zero-copy rotation (traffic model: 12 reads + 3 writes)
 olds = state["olds"]
-timeit("AB3 update + rotate",
-       lambda u, v, w, olds: case.ti.ab_step(
-           (u, v, w), olds, jnp.asarray(5, jnp.int32),
-           (u * 0.1, v * 0.1, w * 0.1), 1e-3),
-       (u, v, w, olds),
-       lambda o, a: tuple(o[0]) + (o[1],))
 
-# full step last (donated: state buffers are recycled each call)
-del u, v, w, olds, p0
-step = case._step
-out = step(state)
-jax.block_until_ready(out["u"])
-t0 = time.perf_counter()
-for _ in range(iters):
-    out = step(out)
-jax.block_until_ready(out["u"])
-ms = (time.perf_counter() - t0) / iters * 1e3
-print(f"{'full step (current, donated)':42s} {ms:8.2f} ms")
+
+def ab_once(a, b, c, o):
+    fields, new_olds = case.ti.ab_step(
+        (a, b, c), o, jnp.asarray(5, jnp.int32),
+        (a * 0.1, b * 0.1, c * 0.1), 1e-3)
+    return fields + (new_olds,)
+
+
+loop_time("AB3 update + rotate", ab_once, (u, v, w, olds),
+          nbytes=15 * nb3)
+
+# full step (chained through its own state)
+loop_time("full step", lambda s: (case.step_fn(s),), (state,))

@@ -171,8 +171,18 @@ class BaseCase:
         """apply_BC -> IBM -> pressure_correction, one substage tail.
         With `comp`, the velocity correction u -= grad(p) accumulates
         through the Kahan compensation carried in the state."""
+        pre = fields
         fields = self.apply_bc(fields, bc_data, gdt, istep)
         fields = self.body(fields)
+        if comp is not None:
+            # BC/IBM hooks may overwrite points, invalidating their
+            # compensation; zero comp wherever a hook changed the field
+            # (skipped entirely when a hook is the identity)
+            comp = tuple(
+                c if f_new is f_old
+                else jnp.where(f_new == f_old, c, jnp.zeros_like(c))
+                for f_new, f_old, c in zip(fields[:3], pre[:3], comp[:3])
+            ) + tuple(comp[3:])
         if comp is None:
             u, v, w, p = self.solver.pressure_correction(
                 *fields[:3], keep_pressure=self.keep_pressure)

@@ -62,10 +62,10 @@ class CheckpointManager:
         arrays["dt"] = np.asarray(dt)
         if stats is not None:
             for k, v in stats.items():
-                arrays[f"stats_{k}"] = np.asarray(v)
+                arrays[f"stats_{k}"] = gather_global(v)
         if extra is not None:
             for k, v in extra.items():
-                arrays[f"extra_{k}"] = np.asarray(v)
+                arrays[f"extra_{k}"] = gather_global(v)
 
         fname = self._fname(timestep)
         if not is_primary():

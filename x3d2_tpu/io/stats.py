@@ -125,7 +125,8 @@ class StatsManager:
     def checkpoint_state(self):
         if self.acc is None:
             return None
-        d = {k: np.asarray(v) for k, v in self.acc.items()}
+        from ..parallel.multihost import gather_global
+        d = {k: gather_global(v) for k, v in self.acc.items()}
         d["sample_count"] = np.asarray(self.sample_count)
         return d
 

@@ -29,6 +29,7 @@ def maybe_init_distributed(coordinator=None, num_processes=None,
     """Initialise the jax distributed runtime when configured. Returns
     True when running multi-process. No-op (False) for the common
     single-process case so the CLI works unchanged."""
+    explicit = coordinator is not None
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
@@ -36,6 +37,13 @@ def maybe_init_distributed(coordinator=None, num_processes=None,
         pid = os.environ.get("JAX_PROCESS_ID")
         process_id = int(pid) if pid is not None else None
     if not coordinator or num_processes <= 1:
+        if explicit or (coordinator and num_processes <= 1):
+            # a coordinator was requested but the cluster shape is
+            # missing: failing silently would run N independent
+            # simulations clobbering each other's output
+            raise ValueError(
+                "multi-host requested (coordinator set) but "
+                "JAX_NUM_PROCESSES/JAX_PROCESS_ID are not configured")
         return False
     import jax
     jax.distributed.initialize(coordinator_address=coordinator,
@@ -56,10 +64,13 @@ def is_primary() -> bool:
 
 def gather_global(x) -> np.ndarray:
     """Full host copy of a (possibly multi-host-sharded) array.
-    Collective: every process must call it; all receive the global
-    value. Single-process arrays pass through np.asarray."""
+    Collective for non-addressable arrays: every process must call it;
+    all receive the global value. Fully-addressable arrays (single
+    process, or process-local data like IBM masks replicated on every
+    host) pass straight through np.asarray — feeding those to
+    process_allgather would CONCATENATE the per-process copies."""
     import jax
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -32,8 +32,12 @@ def make_device_mesh(nproc_y: int, nproc_z: int, devices=None) -> DeviceMesh:
         # the axon relay, tests/conftest.py): build the mesh from that
         # platform's devices, not the global default list
         dd = jax.config.jax_default_device
-        devices = (jax.devices(dd.platform) if dd is not None
-                   else jax.devices())
+        if dd is None:
+            devices = jax.devices()
+        else:
+            # jax_default_device may be a Device or a platform string
+            platform = dd if isinstance(dd, str) else dd.platform
+            devices = jax.devices(platform)
     n = nproc_y * nproc_z
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")

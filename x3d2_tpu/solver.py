@@ -360,7 +360,11 @@ class NavierStokes:
         only happens when requested; otherwise the returned p is the
         spectral-basis solution (fine for checkpoint round-trips, not for
         visualisation)."""
-        d = self._fused_pressure_mats()
+        # halo mode never uses the fused matrices: check it first so the
+        # sharded variant does not materialise ~13MB of unused constants
+        # mid-trace (make_halo_solver drops the eager cache)
+        d = (None if getattr(self, "_halo_mode", False)
+             else self._fused_pressure_mats())
         if (d is None or self.poisson.stretch_solver is not None
                 or getattr(self, "_halo_mode", False)):
             # halo mode: the unfused path keeps div/grad as banded compact
