@@ -1,0 +1,52 @@
+"""Sharded v3 Pallas transeq (shard_map + ppermute halos) vs the global
+einsum transeq, on the virtual CPU device mesh in interpret mode.
+
+The sharded kernels use the GLOBAL banded operator blocks indexed by
+shard offset, so up to bf16x3 matmul noise the result must match the
+unsharded dense apply for periodic BCs on every mesh layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x3d2_tpu.common import BC
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.solver import NavierStokes
+from x3d2_tpu.parallel.topo import make_device_mesh
+from x3d2_tpu.parallel.shard_kernels import (make_sharded_transeq_v3,
+                                             sharded_transeq_v3_supported)
+
+
+def _solver(dims):
+    mesh = Mesh(dims, (2 * np.pi,) * 3, ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    return NavierStokes.build(mesh, nu=1 / 1600, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("dims,mesh_shape", [
+    ((128, 256, 256), (2, 2)),   # both axes sharded
+    ((128, 128, 512), (1, 4)),   # lane axis over 4 shards
+])
+def test_sharded_v3_matches_global(dims, mesh_shape):
+    ns = _solver(dims)
+    dmesh = make_device_mesh(*mesh_shape)
+    assert sharded_transeq_v3_supported(ns, dmesh)
+    fn = make_sharded_transeq_v3(ns, dmesh, terms=2, interpret=True)
+
+    rng = np.random.default_rng(7)
+    u, v, w = (jnp.asarray(rng.standard_normal(dims), jnp.float32)
+               for _ in range(3))
+    got = jax.jit(fn)(u, v, w)
+    want = ns.transeq(u, v, w)
+    for g, e in zip(got, want):
+        scale = float(jnp.max(jnp.abs(e)))
+        err = float(jnp.max(jnp.abs(g - e)))
+        assert err < 5e-5 * scale, f"err {err:.2e} scale {scale:.2e}"
+
+
+def test_unsupported_local_extents():
+    # 32^3 over a 2x4 mesh: local extents far below the block sizes
+    ns = _solver((32, 32, 32))
+    dmesh = make_device_mesh(2, 4)
+    assert not sharded_transeq_v3_supported(ns, dmesh)

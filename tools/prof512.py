@@ -104,10 +104,20 @@ if saved is not None:
               flops=27 * 2 * n**4)
     object.__setattr__(ns, "_transeq_v3", saved)
 
-loop_time("pressure_correction (fused dense)",
+slab = getattr(ns, "_slab_pressure", None)
+plabel = "pressure_correction (%s)" % ("slab pallas" if slab else
+                                       "fused dense")
+loop_time(plabel,
           lambda a, b, c: ns.pressure_correction(
               a, b, c, keep_pressure=False)[:3],
           (u, v, w), flops=16 * 2 * n**4)
+if slab is not None:
+    k1, k2 = slab
+    loop_time("  slab k1 (div y/z + solve)",
+              lambda a, b, c: (k1(a, b, c), b, c),
+              (u, v, w), flops=5 * 2 * n**4)
+    loop_time("  slab k2 (grad z/y)", lambda q: (k2(q)[0],), (u,),
+              flops=5 * 2 * n**4)
 loop_time("matmul poisson solve",
           lambda p: (ns.poisson(p),), (u,), flops=6 * 2 * n**4)
 
@@ -125,5 +135,28 @@ def ab_once(a, b, c, o):
 loop_time("AB3 update + rotate", ab_once, (u, v, w, olds),
           nbytes=15 * nb3)
 
-# full step (chained through its own state)
-loop_time("full step", lambda s: (case.step_fn(s),), (state,))
+# full step (chained through its own state). The loop is jitted WITH
+# donation: the fused transeq+AB kernel aliases dead history buffers onto
+# its outputs, which XLA must otherwise satisfy with defensive copies
+# (observed as RESOURCE_EXHAUSTED at 512^3 in the undonated harness).
+
+
+def full_step_time():
+    def looped(s):
+        out = jax.lax.fori_loop(0, iters, lambda i, c: case.step_fn(c), s)
+        return jnp.sum(out["u"][0])
+
+    g = jax.jit(looped, donate_argnums=0)
+    float(g(case.initial_state()))  # compile + warm on a fresh state
+    times = []
+    for _ in range(2):
+        s = case.initial_state()
+        jax.block_until_ready(s["u"])
+        t0 = time.perf_counter()
+        float(g(s))
+        times.append(time.perf_counter() - t0)
+    ms = min(times) / iters * 1e3
+    print(f"{'full step':44s} {ms:8.2f} ms")
+
+
+full_step_time()

@@ -89,6 +89,22 @@ class BaseCase:
                                          poisson_method=pmethod)
         self.ti = TimeIntegrator(params.time_intg)
         self.dt = params.dt
+        # AB update fused into the final transeq sweep (in-kernel while
+        # the velocity mid blocks are VMEM-resident) whenever the v3
+        # Pallas kernels are active and no hook sits between transeq and
+        # the update (forcings identity, no species, plain accumulation)
+        self._fused_ab = None
+        if (self.ti.kind == "AB" and self.ti.nolds >= 1
+                and not params.compensated and not params.n_species
+                and type(self).forcings is BaseCase.forcings
+                and getattr(self.solver, "_transeq_v3", None) is not None):
+            from ..common import DataLoc
+            from ..ops.compact import PRECISION
+            from ..ops.pallas_kernels import make_fused_transeq_ab_v3
+            terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
+            self._fused_ab = make_fused_transeq_ab_v3(
+                self.solver.ops, self.solver.nu, mesh.dims(DataLoc.VERT),
+                self.ti.nolds, terms=terms)
         self.monitor = Monitor(self.solver, path=monitor_path,
                                verbose=verbose)
         self._step = jax.jit(self.step_fn, donate_argnums=0)
@@ -211,7 +227,7 @@ class BaseCase:
         key = state["key"]
         dt = self.dt
 
-        if self.ti.kind == "AB":
+        if self.ti.kind == "AB" and self._fused_ab is None:
             key, sub = jax.random.split(key)
             fields, bc_data = self.define_bc(fields, sub, istep)
             rhs = self._rhs(fields, istep)
@@ -227,6 +243,18 @@ class BaseCase:
                 fields, p, _ = self._substage_post(fields, bc_data,
                                                    self.ti.gdt(dt, 0), istep)
                 new = {"olds": olds}
+        elif self.ti.kind == "AB":  # fused transeq+AB kernel chain
+            key, sub = jax.random.split(key)
+            fields, bc_data = self.define_bc(fields, sub, istep)
+            from ..time_integrators import AB_COEFFS
+            nstep = jnp.minimum(istep, self.ti.order)
+            dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
+            fields, rhs = self._fused_ab(*fields[:3], state["olds"], dtc)
+            olds = tuple((r,) + o[:-1]
+                         for r, o in zip(rhs, state["olds"]))
+            fields, p, _ = self._substage_post(fields, bc_data,
+                                               self.ti.gdt(dt, 0), istep)
+            new = {"olds": olds}
         else:  # RK
             fields0 = None
             ks = []

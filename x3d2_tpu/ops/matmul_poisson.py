@@ -112,6 +112,10 @@ class MatmulPoisson:
         wdt = jnp.float64 if dtype == jnp.float64 else jnp.float32
         self._k2b = [jnp.asarray(ax3(k2[a], a), wdt) for a in range(3)]
         self._Tb = [jnp.asarray(ax3(T[a], a), wdt) for a in range(3)]
+        # f64 1-D masters, consumed by the Pallas slab kernel
+        # (ops/pallas_poisson.py) to rebuild the solve diagonal in-kernel
+        self.k2_1d = [np.asarray(k2[a], np.float64) for a in range(3)]
+        self.T_1d = [np.asarray(T[a], np.float64) for a in range(3)]
 
         # Nyquist zero indices for folded variants
         # (process_spectral_010:216 analogue)

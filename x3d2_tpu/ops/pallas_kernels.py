@@ -151,9 +151,15 @@ def _stack_banded(op_pair, w, bs):
 
 
 def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
-                       terms=2):
+                       terms=2, ab_olds=0, halo_ext=False):
     """refs layout: [acc_u, acc_v, acc_w]? + nstream blocks per field * 3
-    + 4*terms matrix refs (sa, st, da, dt split parts) + 3 outputs."""
+    + [old_{j,c} blocks]* + 4*terms matrix refs (sa, st, da, dt split
+    parts) + [shard block offset]? + [ab coeffs]? + outputs (3, or 6 when
+    AB-fused: u',v',w' followed by the rhs fields that become olds[0]).
+
+    With halo_ext, the l/r stream blocks come from a halo-extended shard
+    (no wraparound) and the matrix stacks hold the GLOBAL banded blocks,
+    indexed at b + shard offset (read from SMEM)."""
     i = 0
     accs = None
     if accumulate:
@@ -163,10 +169,23 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
     for _ in range(3):
         fields.append(refs[i:i + nstream])
         i += nstream
+    olds = refs[i:i + 3 * ab_olds]
+    i += 3 * ab_olds
     nm = 4 * terms
     mat_refs = refs[i:i + nm]
-    outs = refs[i + nm:i + nm + 3]
+    i += nm
+    off_ref = None
+    if halo_ext:
+        off_ref = refs[i]
+        i += 1
+    co_ref = None
+    if ab_olds:
+        co_ref = refs[i]
+        i += 1
+    outs = refs[i:]
     b = pl.program_id(2)
+    if halo_ext:
+        b = b + off_ref[0]
 
     def window(parts):
         if nstream == 2:
@@ -215,16 +234,33 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         r = -0.5 * (conv * dq + dqd) + nu * d2q
         if accumulate:
             r = r + accs[c][...]
-        outs[c][...] = r.astype(outs[c].dtype)
+        if ab_olds:
+            # fused AB update: u' = u + dt*c0*rhs + sum_j dt*c_{j+1}*old_j
+            # (time_integrators.ab_step); rhs written as the new olds[0]
+            outs[3 + c][...] = r.astype(outs[3 + c].dtype)
+            unew = mids[c] + co_ref[0, 0] * r
+            for j in range(ab_olds):
+                unew = unew + co_ref[0, 1 + j] * olds[3 * j + c][...]
+            outs[c][...] = unew.astype(outs[c].dtype)
+        else:
+            outs[c][...] = r.astype(outs[c].dtype)
 
 
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
-                        terms=2):
+                        terms=2, ab_olds=0, n_shards=1, ab_alias=True):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
 
     Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
-    Axis 2: rolled 2-stream windows (default bs=128, w=64)."""
+    Axis 2: rolled 2-stream windows (default bs=128, w=64).
+
+    With ab_olds=k (final sweep of an AB(k+1) scheme), the kernel also
+    applies the Adams-Bashforth update in place: fn(u, v, w, acc, olds,
+    dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)) where `olds` is the
+    flat (old_{j,c}) history, `dtc` the dt-scaled coefficient row, and
+    the rhs outputs become the new olds[0]. This folds the separate
+    15-pass AB elementwise update into the sweep (the mid blocks of
+    u,v,w are already VMEM-resident)."""
     n = shape[axis]
     lane = axis == 2
     if bs is None:
@@ -236,12 +272,23 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         # matmul noise.
         w = 64 if lane else (32 if terms >= 3 else 16)
     nstream = 2 if lane else 3
+    halo_ext = n_shards > 1
+    if ab_olds and (lane or not accumulate or halo_ext):
+        raise ValueError("AB fusion needs a non-lane single-shard "
+                         "accumulate sweep (mid blocks must be resident)")
     if lane and 2 * w > bs:
         raise ValueError("lane axis needs w <= bs/2")
+    if lane and halo_ext and 2 * w != bs:
+        # the ext cover uses two aligned bs-blocks, so the halo must be
+        # exactly bs/2 wide on the lane axis
+        raise ValueError("sharded lane sweeps need w == bs/2")
     if not lane and bs % w:
         raise ValueError("3-stream windows need w | bs")
-    if n % bs or n < bs + 2 * w:
+    if n % bs or (not halo_ext and n < bs + 2 * w):
         raise ValueError(f"n={n} not tileable with bs={bs}, w={w}")
+    if halo_ext and ops_axis.der1st.n_in != n * n_shards:
+        raise ValueError("local extent * n_shards must match the global "
+                         "operator size")
     nb = n // bs
 
     d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
@@ -260,6 +307,10 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         if terms >= 3:
             # bf16x6 doubles the resident matrix parts and widens the
             # halo streams; halve the leading tile to stay under VMEM
+            free = (max(4, free[0] // 2), free[1])
+        if ab_olds:
+            # the fused AB update adds 3*ab_olds history blocks and 3
+            # extra outputs; halve the leading tile to stay under VMEM
             free = (max(4, free[0] // 2), free[1])
     t0, t1 = free
     if shape[other[0]] % t0 or shape[other[1]] % t1:
@@ -284,11 +335,30 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
     out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
                             memory_space=pltpu.VMEM)
-    if lane:
+    if lane and halo_ext:
+        # ext = concat(left_halo_w, local, right_halo_w): the window
+        # [b*bs-w, b*bs+bs+w) sits at ext blocks b, b+1 — no wrap
+        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(blk_of(bs), map_of(lambda b: b + 1),
+                               memory_space=pltpu.VMEM)]
+    elif lane:
         fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
                                memory_space=pltpu.VMEM)]
+    elif halo_ext:
+        # l/r stream blocks come from the halo-extended operand (in units
+        # of w planes); the mid block from the plain local shard
+        r = bs // w
+        fspecs = [
+            pl.BlockSpec(blk_of(w), map_of(lambda b: b * r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(w), map_of(lambda b: (b + 1) * r + 1),
+                         memory_space=pltpu.VMEM),
+        ]
     else:
         r = bs // w
         nw = n // w
@@ -301,35 +371,72 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                          memory_space=pltpu.VMEM),
         ]
     win = bs + 2 * w
-    sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j, b: (0, 0, 0),
+    nb_g = nb * n_shards  # matrix stacks hold the GLOBAL banded blocks
+    sspec = pl.BlockSpec((nb_g, 2 * bs, win), lambda i, j, b: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((nb, bs, win), lambda i, j, b: (0, 0, 0),
+    dspec = pl.BlockSpec((nb_g, bs, win), lambda i, j, b: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_transeq_kernel_v3, axis=axis, nu=float(nu),
                              w=w, bs=bs, nstream=nstream,
-                             accumulate=accumulate, terms=terms)
+                             accumulate=accumulate, terms=terms,
+                             ab_olds=ab_olds, halo_ext=halo_ext)
 
     in_specs = ([out_spec] * 3 if accumulate else []) \
-        + fspecs * 3 + [sspec] * (2 * terms) + [dspec] * (2 * terms)
-    aliases = {0: 0, 1: 1, 2: 2} if accumulate else {}
+        + fspecs * 3 + [out_spec] * (3 * ab_olds) \
+        + [sspec] * (2 * terms) + [dspec] * (2 * terms)
+    if halo_ext:
+        in_specs = in_specs + [pl.BlockSpec((1,), lambda i, j, b: (0,),
+                                            memory_space=pltpu.SMEM)]
+    n_out = 6 if ab_olds else 3
+    if ab_olds:
+        in_specs = in_specs + [pl.BlockSpec((1, 4), lambda i, j, b: (0, 0),
+                                            memory_space=pltpu.SMEM)]
+        # the accumulated partial rhs aliases onto the rhs outputs, and
+        # the OLDEST history buffers (dropped by the rotation) onto the
+        # updated velocities — the fused step then adds no peak HBM over
+        # its inputs (blocks share the output index map, so in-place is
+        # race-free like any elementwise aliasing)
+        aliases = {0: 3, 1: 4, 2: 5}
+        if ab_alias:
+            first_old = 3 + 3 * nstream
+            for c in range(3):
+                aliases[first_old + 3 * (ab_olds - 1) + c] = c
+    else:
+        aliases = {0: 0, 1: 1, 2: 2} if accumulate else {}
 
-    def fn(u, v, w_, acc=None):
-        if lane:
+    def fn(u, v, w_, acc=None, olds=None, dtc=None, exts=None, off=None):
+        if lane and not halo_ext:
             u, v, w_ = (jnp.roll(q, w, axis=axis) for q in (u, v, w_))
         field_args = []
-        for q in (u, v, w_):
-            field_args += [q] * nstream
-        args = (list(acc) if accumulate else []) + field_args + mats
-        out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * 3
-        return pl.pallas_call(
+        if halo_ext:
+            # per field: l/r streams read the halo-extended operand
+            for q, e in zip((u, v, w_), exts):
+                field_args += [e] * 2 if lane else [e, q, e]
+        else:
+            for q in (u, v, w_):
+                field_args += [q] * nstream
+        args = (list(acc) if accumulate else []) + field_args
+        if ab_olds:
+            # olds: per-field (nolds,) history tuples -> flat j-major
+            args += [olds[c][j] for j in range(ab_olds) for c in range(3)]
+        args += mats
+        if halo_ext:
+            args += [jnp.reshape(off, (1,)).astype(jnp.int32)]
+        if ab_olds:
+            args += [jnp.reshape(dtc, (1, -1)).astype(u.dtype)]
+        out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * n_out
+        outs = pl.pallas_call(
             kern,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[out_spec] * 3,
+            out_specs=[out_spec] * n_out,
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
         )(*args)
+        if ab_olds:
+            return tuple(outs[:3]), tuple(outs[3:])
+        return outs
 
     return fn
 
@@ -356,6 +463,37 @@ def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
         acc = d0(u, v, w, acc=acc)
         acc = d1(u, v, w, acc=acc)
         return acc
+
+    return fn
+
+
+def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
+                             interpret=False, terms=2):
+    """Transeq + Adams-Bashforth update in one fused chain:
+    fn(u, v, w, olds, dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)).
+
+    The final (axis 1) sweep applies the AB update in-kernel while the
+    u,v,w mid blocks are VMEM-resident, replacing the separate
+    12-read/3-write elementwise AB pass (time_integrators.ab_step) with
+    6 extra in-kernel block reads and 3 writes. `olds` is the per-field
+    history tuple structure of ab_step; `dtc` the dt-scaled coefficient
+    row (traced, so AB startup steps reuse the same program). The rhs
+    outputs are the new olds[0]; rotation stays a tuple reshuffle."""
+    cfgs = cfgs or {}
+    d2 = make_transeq_dir_v3(solver_ops[2], nu, 2, shape, terms=terms,
+                             accumulate=False, interpret=interpret,
+                             **cfgs.get(2, {}))
+    d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape, terms=terms,
+                             accumulate=True, interpret=interpret,
+                             **cfgs.get(0, {}))
+    d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
+                             accumulate=True, ab_olds=nolds,
+                             interpret=interpret, **cfgs.get(1, {}))
+
+    def fn(u, v, w, olds, dtc):
+        acc = d2(u, v, w)
+        acc = d0(u, v, w, acc=acc)
+        return d1(u, v, w, acc=acc, olds=olds, dtc=dtc)
 
     return fn
 

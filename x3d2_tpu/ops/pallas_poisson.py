@@ -1,0 +1,207 @@
+"""Pallas resident-slab pressure projection kernels.
+
+The projection's y/z stages — divergence y+z (transform-fused), the
+spectral solve, and the gradient z+y stages (inverse-transform-fused) —
+all operate within an (ny, nz) x-plane. Two Pallas kernels hold one
+such slab VMEM-resident and run every stage back to back, so the ten
+intermediate fields that the einsum path round-trips through HBM
+(duv, dw_mid, F, q, p_z, dpdz, ... ~20 HBM passes at 512^3) collapse
+to 4 + 4 passes:
+
+    kernel 1 (div+solve):  du, dv, dw  ->  q      (3 reads, 1 write)
+    kernel 2 (gradient):   q -> p_zy, dpdy, dpdz  (1 read, 3 writes)
+
+The x stages (3 transform-fused matmuls before kernel 1 and after
+kernel 2) stay as einsums: they contract the grid axis, which cannot be
+slab-resident, and folding the x transform into them is cheaper than a
+standalone transform pass.
+
+Matmuls use the manual bf16 hi/lo-split scheme of pallas_kernels.py
+(Mosaic only lowers DEFAULT/HIGHEST dot precisions): terms=2 gives
+bf16x3 == Precision.HIGH, terms=3 gives bf16x6 == HIGHEST (KE-parity
+mode). The solve diagonal -1/waves is rebuilt per slab from two (ny,nz)
+tables and two per-plane scalars,
+
+    waves(i) = k2x[i] * A + Tx[i]^2 * B,
+    A = Ty^2 (x) Tz^2,   B = k2y (x) Tz^2 + Ty^2 (x) k2z,
+
+the separable decomposition of matmul_poisson._inv_waves (reference
+modified-wavenumber tables: poisson_fft.f90 waves_set:654-831).
+
+VMEM at 512^3: 4 pipelined (1,512,512) f32 slabs (8 MB with double
+buffering) + ~3-5 MB of resident matrices per kernel — inside the
+~16 MB scoped budget (the single merged kernel was not).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _dot_split, _split, split_hi_lo
+
+_EPS = 1e-16  # matches matmul_poisson._EPS
+
+
+def _mm_left(mat_refs, x, terms):
+    """(m, k) split matrix parts @ (k, n) f32 slab -> (m, n) f32."""
+    Ms = tuple(r[...] for r in mat_refs)
+    xs = _split(x, terms)
+    return _dot_split(Ms, xs, (((1,), (0,)), ((), ())))
+
+
+def _mm_right(x, mat_refs, terms):
+    """(m, k) f32 slab contracted with (n, k) split parts -> (m, n)."""
+    Ms = tuple(r[...] for r in mat_refs)
+    xs = _split(x, terms)
+    return _dot_split(xs, Ms, (((1,), (1,)), ((), ())))
+
+
+def _div_solve_kernel(*refs, terms):
+    """refs: du, dv, dw slabs; iy, sy, iz, sz matrix parts (terms each);
+    A, B, Myz (ny,nz) tables; k2x, tx2, mx (1,1) per-plane scalars; out q."""
+    du_ref, dv_ref, dw_ref = refs[:3]
+    m = refs[3:3 + 4 * terms]
+    iy, sy = m[:terms], m[terms:2 * terms]
+    iz, sz = m[2 * terms:3 * terms], m[3 * terms:4 * terms]
+    A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref, q_ref = refs[3 + 4 * terms:]
+
+    du, dv, dw = du_ref[0], dv_ref[0], dw_ref[0]
+    # divergence y stage (axis 0 of the slab): duv = Iy du + Sy dv
+    duv = _mm_left(iy, du, terms) + _mm_left(sy, dv, terms)
+    dwm = _mm_left(iy, dw, terms)
+    # divergence z stage (lane axis): F = Iz duv + Sz dwm
+    F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
+    # spectral solve: q = -F / waves, with the zero-wave guard and the
+    # Nyquist masks of matmul_poisson._inv_waves
+    i = pl.program_id(0)
+    waves = k2x_ref[i] * A_ref[...] + tx2_ref[i] * B_ref[...]
+    ok = jnp.abs(waves) >= _EPS
+    inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
+    q_ref[0] = (F * inv * (mx_ref[i] * Myz_ref[...])).astype(q_ref.dtype)
+
+
+def _grad_kernel(*refs, terms, nvy, nvz):
+    """refs: q slab (ncy,ncz); gz_is (2nvz,ncz), gy_is (2nvy,ncy),
+    gy_i (nvy,ncy) parts; outs p_zy, dpdy, dpdz (nvy,nvz) — all still
+    spectral in x; the x stage follows as an einsum."""
+    q_ref = refs[0]
+    m = refs[1:1 + 3 * terms]
+    gz_is, gy_is, gy_i = m[:terms], m[terms:2 * terms], m[2 * terms:]
+    pzy_ref, dpdy_ref, dpdz_ref = refs[1 + 3 * terms:]
+
+    q = q_ref[0]
+    # gradient z stage, interp/stagder row-stacked into one dot
+    both_z = _mm_right(q, gz_is, terms)          # (ncy, 2nvz)
+    p_z = both_z[:, :nvz]
+    dpdz_s = both_z[:, nvz:]
+    # gradient y stage on p_z (stacked), plus the interp of dpdz
+    both_y = _mm_left(gy_is, p_z, terms)         # (2nvy, nvz)
+    pzy_ref[0] = both_y[:nvy].astype(pzy_ref.dtype)
+    dpdy_ref[0] = both_y[nvy:].astype(dpdy_ref.dtype)
+    dpdz_ref[0] = _mm_left(gy_i, dpdz_s, terms).astype(dpdz_ref.dtype)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _plane_spec(ny, nz):
+    return pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scalar_spec(nx):
+    # per-x-plane scalar tables: the whole (nx,) vector rides in SMEM and
+    # the kernel indexes it by program_id (blocked 1-D SMEM specs hit the
+    # lane-tiling rule)
+    return pl.BlockSpec((nx,), lambda i: (0,), memory_space=pltpu.SMEM)
+
+
+def slab_pressure_supported(ns, shape=None) -> bool:
+    """MatmulPoisson without stretching; slab dims obeying the Mosaic
+    last-two-dims tiling rules (sublane % 8, lane % 128) for both the
+    VERT-sized and CELL-sized y/z extents."""
+    from ..common import DataLoc
+    from .matmul_poisson import MatmulPoisson
+    po = ns.poisson
+    if not isinstance(po, MatmulPoisson) or po.stretch_solver is not None:
+        return False
+    _, ncy, ncz = po.nc
+    _, nvy, nvz = ns.mesh.dims(DataLoc.VERT)
+    return (ncy % 8 == 0 and nvy % 8 == 0
+            and ncz % 128 == 0 and nvz % 128 == 0
+            and min(ncy, ncz) >= 128)
+
+
+def make_pressure_slab(ns, terms=2, interpret=False):
+    """Build (div_solve_fn, grad_fn) over x-plane slabs.
+
+    div_solve_fn(du, dv, dw) -> q   (spectral solve result, CELL dims)
+    grad_fn(q) -> (p_zy, dpdy, dpdz)  (x stage still pending)
+    """
+    from ..common import DataLoc
+    po = ns.poisson
+    nx, ny, nz = po.nc
+    _, nvy, nvz = ns.mesh.dims(DataLoc.VERT)
+    d64 = ns._fp_mats64()
+
+    def parts(M):
+        return [jnp.asarray(p) for p in split_hi_lo(M, terms)]
+
+    m1 = parts(d64["iy"]) + parts(d64["sy"]) + parts(d64["iz"]) \
+        + parts(d64["sz"])
+    m2 = parts(d64["gz_is"]) + parts(d64["gy_is"]) + parts(d64["gy_i"])
+
+    # separable solve-diagonal tables (see module docstring)
+    k2x, k2y, k2z = po.k2_1d
+    Tx, Ty, Tz = po.T_1d
+    A = np.outer(Ty ** 2, Tz ** 2)
+    B = np.outer(k2y, Tz ** 2) + np.outer(Ty ** 2, k2z)
+    mx = np.ones(nx)
+    Myz = np.ones((ny, nz))
+    if po._zero_idx is not None:
+        for a in po._zero_idx:
+            if a == 0:
+                mx[nx // 2] = 0.0
+            elif a == 1:
+                Myz[ny // 2, :] = 0.0
+            else:
+                Myz[:, nz // 2] = 0.0
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    tables = [f32(A), f32(B), f32(Myz), f32(k2x), f32(Tx ** 2), f32(mx)]
+
+    cell_plane = _plane_spec(ny, nz)
+    vert_plane = _plane_spec(nvy, nvz)
+    grid = (nx,)
+
+    k1 = functools.partial(_div_solve_kernel, terms=terms)
+    k1_specs = ([vert_plane] * 3
+                + [_const_spec(p.shape) for p in m1]
+                + [_const_spec((ny, nz))] * 3 + [_scalar_spec(nx)] * 3)
+
+    def div_solve_fn(du, dv, dw):
+        return pl.pallas_call(
+            k1, grid=grid, in_specs=k1_specs, out_specs=cell_plane,
+            out_shape=jax.ShapeDtypeStruct((nx, ny, nz), du.dtype),
+            interpret=interpret,
+        )(du, dv, dw, *m1, *tables)
+
+    k2 = functools.partial(_grad_kernel, terms=terms, nvy=nvy, nvz=nvz)
+    k2_specs = [cell_plane] + [_const_spec(p.shape) for p in m2]
+
+    def grad_fn(q):
+        return pl.pallas_call(
+            k2, grid=grid, in_specs=k2_specs, out_specs=[vert_plane] * 3,
+            out_shape=[jax.ShapeDtypeStruct((nx, nvy, nvz), q.dtype)] * 3,
+            interpret=interpret,
+        )(q, *m2)
+
+    return div_solve_fn, grad_fn

@@ -154,6 +154,23 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
         halo_solver._fused_pressure_mats()
     case = copy.copy(case)
     case.solver = halo_solver
+    # the fused transeq+AB kernel chain is a single-device program too
+    case._fused_ab = None
+    # sharded v3 transeq: per-shard Pallas kernels + ppermute halos
+    # (parallel/shard_kernels.py) whenever the local shards are tileable;
+    # interpret mode on the virtual CPU mesh (no Mosaic there)
+    import os
+    if os.environ.get("X3D2_PALLAS", "1") != "0":
+        from ..ops.compact import PRECISION
+        from .shard_kernels import (make_sharded_transeq_v3,
+                                    sharded_transeq_v3_supported)
+        terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
+        if sharded_transeq_v3_supported(solver, dmesh, terms=terms):
+            interp = dmesh.devices.flat[0].platform != "tpu"
+            object.__setattr__(
+                halo_solver, "_transeq_v3",
+                make_sharded_transeq_v3(solver, dmesh, terms=terms,
+                                        interpret=interp))
     sh = state_shardings(dmesh, state)
     if pin_shardings is None:
         pin_shardings = dmesh.devices.flat[0].platform != "cpu"

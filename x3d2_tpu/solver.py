@@ -138,6 +138,16 @@ class NavierStokes:
                 fns = tuple(make_fused_transeq(ns.ops[a], nu, a, shape)
                             for a in range(3))
                 object.__setattr__(ns, "_pallas_transeq", fns)
+            from .ops.pallas_poisson import (make_pressure_slab,
+                                             slab_pressure_supported)
+            if slab_pressure_supported(ns):
+                # resident-slab projection kernels: the y/z div stages,
+                # spectral solve and z/y grad stages run back to back on
+                # VMEM-resident x-planes (~20 HBM passes -> 8)
+                from .ops.compact import PRECISION
+                terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
+                object.__setattr__(ns, "_slab_pressure",
+                                   make_pressure_slab(ns, terms=terms))
         return ns
 
     # ------------------------------------------------------------------
@@ -301,6 +311,41 @@ class NavierStokes:
     # ------------------------------------------------------------------
     # pressure projection
     # ------------------------------------------------------------------
+    def _fp_mats64(self):
+        """Float64 numpy masters of the transform-fused projection
+        matrices (see _fused_pressure_mats), or None when the Poisson is
+        not the matmul variant. Consumed by the jnp cache below and by the
+        Pallas slab kernels (ops/pallas_poisson.py) for bf16 hi/lo splits."""
+        from .ops.matmul_poisson import MatmulPoisson
+        if not isinstance(self.poisson, MatmulPoisson):
+            return None
+        if "_fp64_cache" in self.__dict__:
+            return self._fp64_cache
+        po = self.poisson
+        d = {}
+        f64 = [np.asarray(T, np.float64) for T in po.Tf]
+        i64 = [np.asarray(T, np.float64) for T in po.Ti]
+        ox, oy, oz = self.ops
+        # divergence stages fused with forward transforms (per axis)
+        d["sx"] = f64[0] @ ox.stagder_v2p.M64
+        d["ix"] = f64[0] @ ox.interpl_v2p.M64
+        d["sy"] = f64[1] @ oy.stagder_v2p.M64
+        d["iy"] = f64[1] @ oy.interpl_v2p.M64
+        d["sz"] = f64[2] @ oz.stagder_v2p.M64
+        d["iz"] = f64[2] @ oz.interpl_v2p.M64
+        # gradient stages fused with inverse transforms
+        d["gz_i"] = oz.interpl_p2v.M64 @ i64[2]
+        d["gz_s"] = oz.stagder_p2v.M64 @ i64[2]
+        d["gy_i"] = oy.interpl_p2v.M64 @ i64[1]
+        d["gy_s"] = oy.stagder_p2v.M64 @ i64[1]
+        d["gx_i"] = ox.interpl_p2v.M64 @ i64[0]
+        d["gx_s"] = ox.stagder_p2v.M64 @ i64[0]
+        # row-stacked same-input pairs for the gradient z/y stages
+        d["gz_is"] = np.concatenate([d["gz_i"], d["gz_s"]])
+        d["gy_is"] = np.concatenate([d["gy_i"], d["gy_s"]])
+        object.__setattr__(self, "_fp64_cache", d)
+        return d
+
     def _fused_pressure_mats(self):
         """Fold the matmul-Poisson spectral transforms into the staggered
         divergence/gradient operator matrices: since both the transforms
@@ -308,42 +353,14 @@ class NavierStokes:
         op@Ti compose at setup, eliminating the six standalone transform
         matmuls from the projection. Returns None when the Poisson is not
         the matmul variant."""
-        from .ops.matmul_poisson import MatmulPoisson
-        if not isinstance(self.poisson, MatmulPoisson):
-            return None
         if "_fp_cache" in self.__dict__:
             return self._fp_cache
-        po = self.poisson
-        d = {}
-        f64 = [np.asarray(T, np.float64) for T in po.Tf]
-        i64 = [np.asarray(T, np.float64) for T in po.Ti]
-
-        def mk(M):
-            return jnp.asarray(M, self.dtype)
-
-        ox, oy, oz = self.ops
-        # divergence stages fused with forward transforms (per axis)
-        d["sx"] = mk(f64[0] @ ox.stagder_v2p.M64)
-        d["ix"] = mk(f64[0] @ ox.interpl_v2p.M64)
-        d["sy"] = mk(f64[1] @ oy.stagder_v2p.M64)
-        d["iy"] = mk(f64[1] @ oy.interpl_v2p.M64)
-        d["sz"] = mk(f64[2] @ oz.stagder_v2p.M64)
-        d["iz"] = mk(f64[2] @ oz.interpl_v2p.M64)
-        # gradient stages fused with inverse transforms
-        d["gz_i"] = mk(oz.interpl_p2v.M64 @ i64[2])
-        d["gz_s"] = mk(oz.stagder_p2v.M64 @ i64[2])
-        d["gy_i"] = mk(oy.interpl_p2v.M64 @ i64[1])
-        d["gy_s"] = mk(oy.stagder_p2v.M64 @ i64[1])
-        d["gx_i"] = mk(ox.interpl_p2v.M64 @ i64[0])
-        d["gx_s"] = mk(ox.stagder_p2v.M64 @ i64[0])
-        # row-stacked same-input pairs for the gradient z/y stages
-        # (numpy concat: jnp ops here would create tracers under jit that
-        # leak through the cache)
-        d["gz_is"] = mk(np.concatenate([oz.interpl_p2v.M64 @ i64[2],
-                                        oz.stagder_p2v.M64 @ i64[2]]))
-        d["gy_is"] = mk(np.concatenate([oy.interpl_p2v.M64 @ i64[1],
-                                        oy.stagder_p2v.M64 @ i64[1]]))
-
+        d64 = self._fp_mats64()
+        if d64 is None:
+            return None
+        # device constants built eagerly (jnp ops inside a jit trace would
+        # create tracers that leak through the cache)
+        d = {k: jnp.asarray(M, self.dtype) for k, M in d64.items()}
         object.__setattr__(self, "_fp_cache", d)
         return d
 
@@ -381,26 +398,38 @@ class NavierStokes:
         def ap(name, t, axis):
             return apply_matrix(d[name], t, axis)
 
-        # divergence in the spectral basis (transform-fused stages)
-        du = ap("sx", u, 0)
-        dv = ap("ix", v, 0)
-        dw = ap("ix", w, 0)
-        duv = ap("iy", du, 1) + ap("sy", dv, 1)
-        dw = ap("iy", dw, 1)
-        F = ap("iz", duv, 2) + ap("sz", dw, 2)
-        # spectral solve diagonal
-        q = F * po.inv_waves
-        # gradient from the spectral solution (inverse-transform-fused)
-        nzv = self.ops[2].interpl_p2v.n_out
-        both = ap("gz_is", q, 2)
-        p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
-        dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
-        nyv = self.ops[1].interpl_p2v.n_out
-        both = ap("gy_is", p_z, 1)
-        p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
-        dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
-        # every stage must consume its axis' inverse transform exactly once
-        dpdz = ap("gy_i", dpdz, 1)
+        slab = getattr(self, "_slab_pressure", None)
+        if slab is not None:
+            # resident-slab Pallas kernels for the y/z stages + solve
+            # (ops/pallas_poisson.py); x stages stay einsums (they
+            # contract the slab grid axis)
+            k1, k2 = slab
+            du = ap("sx", u, 0)
+            dv = ap("ix", v, 0)
+            dw = ap("ix", w, 0)
+            q = k1(du, dv, dw)
+            p_zy, dpdy, dpdz = k2(q)
+        else:
+            # divergence in the spectral basis (transform-fused stages)
+            du = ap("sx", u, 0)
+            dv = ap("ix", v, 0)
+            dw = ap("ix", w, 0)
+            duv = ap("iy", du, 1) + ap("sy", dv, 1)
+            dw = ap("iy", dw, 1)
+            F = ap("iz", duv, 2) + ap("sz", dw, 2)
+            # spectral solve diagonal
+            q = F * po.inv_waves
+            # gradient from the spectral solution (inverse-transform-fused)
+            nzv = self.ops[2].interpl_p2v.n_out
+            both = ap("gz_is", q, 2)
+            p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
+            dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
+            nyv = self.ops[1].interpl_p2v.n_out
+            both = ap("gy_is", p_z, 1)
+            p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
+            dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
+            # every stage must consume its axis' inverse transform once
+            dpdz = ap("gy_i", dpdz, 1)
         dpdx = ap("gx_s", p_zy, 0)
         dpdy = ap("gx_i", dpdy, 0)
         dpdz = ap("gx_i", dpdz, 0)
