@@ -53,6 +53,20 @@ def test_slab_matches_einsum(bcs, label):
         assert err < 2e-4, f"{label}/{name}: rel err {err:.2e}"
 
 
+def test_slab_correction_matches_einsum():
+    """pressure_correction with the fused-subtract x-stage kernels."""
+    ns = _build((PER,) * 3)
+    u, v, w = _fields(ns, seed=5)
+    ref = ns.pressure_correction(u, v, w, keep_pressure=True)
+    fns = make_pressure_slab(ns, terms=2, interpret=True)
+    object.__setattr__(ns, "_slab_pressure", fns)
+    got = ns.pressure_correction(u, v, w, keep_pressure=True)
+    for r, g, name in zip(ref, got, ("u", "v", "w", "p")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-30
+        err = float(jnp.max(jnp.abs(r - g))) / scale
+        assert err < 2e-4, f"{name}: rel err {err:.2e}"
+
+
 def test_unsupported_falls_back():
     # lane extent not a 128 multiple -> slab gate must reject
     ns = _build((PER,) * 3, dims=(16, 128, 192))

@@ -112,7 +112,7 @@ loop_time(plabel,
               a, b, c, keep_pressure=False)[:3],
           (u, v, w), flops=16 * 2 * n**4)
 if slab is not None:
-    k1, k2 = slab
+    k1, k2 = slab[0], slab[1]
     loop_time("  slab k1 (div y/z + solve)",
               lambda a, b, c: (k1(a, b, c), b, c),
               (u, v, w), flops=5 * 2 * n**4)

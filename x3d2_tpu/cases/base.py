@@ -92,9 +92,15 @@ class BaseCase:
         # AB update fused into the final transeq sweep (in-kernel while
         # the velocity mid blocks are VMEM-resident) whenever the v3
         # Pallas kernels are active and no hook sits between transeq and
-        # the update (forcings identity, no species, plain accumulation)
+        # the update (forcings identity, no species, plain accumulation).
+        # Measured on v5e at 512^3: 100.2 ms/step fused vs 103.9 separate
+        # (the 21-operand kernel needs the leading tile halved for VMEM,
+        # but still beats the separate 15-pass AB update); X3D2_FUSED_AB=0
+        # switches the fusion off for A/B runs.
+        import os as _os
         self._fused_ab = None
-        if (self.ti.kind == "AB" and self.ti.nolds >= 1
+        if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"
+                and self.ti.kind == "AB" and self.ti.nolds >= 1
                 and not params.compensated and not params.n_species
                 and type(self).forcings is BaseCase.forcings
                 and getattr(self.solver, "_transeq_v3", None) is not None):

@@ -48,8 +48,10 @@ _BF = jnp.bfloat16
 def split_hi_lo(M: np.ndarray, terms: int = 2):
     """Host-side f32 -> `terms` bfloat16 parts (numpy). 2 parts capture
     ~16 mantissa bits (the HIGH decomposition); 3 capture all 24
-    (HIGHEST)."""
+    (HIGHEST). terms=0: unsplit f32 (native-precision dots)."""
     M32 = np.asarray(M, np.float32)
+    if terms == 0:
+        return (M32,)
     parts = []
     rem = M32
     for _ in range(terms):
@@ -60,7 +62,10 @@ def split_hi_lo(M: np.ndarray, terms: int = 2):
 
 
 def _split(x, terms: int = 2):
-    """In-kernel f32 -> `terms` bf16 parts."""
+    """In-kernel f32 -> `terms` bf16 parts. terms=0: no split (native
+    f32 operands, for Mosaic's own HIGHEST lowering)."""
+    if terms == 0:
+        return (x,)
     parts = []
     rem = x
     for _ in range(terms):
@@ -97,20 +102,22 @@ def _dot3(Mh, Ml, xh, xl, dn, prec=jax.lax.Precision.DEFAULT):
     return _dot_split((Mh, Ml), (xh, xl), dn, prec)
 
 
-def _contract_split(Ms, xs, axis):
+def _contract_split(Ms, xs, axis, prec=jax.lax.Precision.DEFAULT):
     """Apply a split (rows, win) matrix along `axis` of a split 3-D tile
-    (bf16x3 for 2-part splits, bf16x6 for 3-part)."""
+    (bf16x3 for 2-part splits, bf16x6 for 3-part; unsplit f32 operands
+    with prec=HIGHEST use Mosaic's native bf16x6 lowering)."""
     dn_l = (((1,), (0,)), ((), ()))   # M @ flat
     if axis == 0:
         sh = xs[0].shape
-        r = _dot_split(Ms, tuple(x.reshape(sh[0], -1) for x in xs), dn_l)
+        r = _dot_split(Ms, tuple(x.reshape(sh[0], -1) for x in xs), dn_l,
+                       prec)
         return r.reshape((Ms[0].shape[0],) + sh[1:])
     if axis == 2:
         dn = (((2,), (1,)), ((), ()))  # f @ M^T, contract lane dim
-        return _dot_split(xs, Ms, dn)
+        return _dot_split(xs, Ms, dn, prec)
     # axis == 1: unroll the (small) leading dim; 2-D dots avoid in-kernel
     # 3-D transposes which Mosaic handles poorly
-    rows = [_dot_split(Ms, tuple(x[i] for x in xs), dn_l)[None]
+    rows = [_dot_split(Ms, tuple(x[i] for x in xs), dn_l, prec)[None]
             for i in range(xs[0].shape[0])]
     return jnp.concatenate(rows, axis=0)
 
@@ -171,7 +178,8 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         i += nstream
     olds = refs[i:i + 3 * ab_olds]
     i += 3 * ab_olds
-    nm = 4 * terms
+    nparts = max(terms, 1)
+    nm = 4 * nparts
     mat_refs = refs[i:i + nm]
     i += nm
     off_ref = None
@@ -212,10 +220,12 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
     else:
         conv = mids[axis]
 
-    sa = tuple(m[b] for m in mat_refs[0:terms])
-    st = tuple(m[b] for m in mat_refs[terms:2 * terms])
-    da = tuple(m[b] for m in mat_refs[2 * terms:3 * terms])
-    dt = tuple(m[b] for m in mat_refs[3 * terms:4 * terms])
+    sa = tuple(m[b] for m in mat_refs[0:nparts])
+    st = tuple(m[b] for m in mat_refs[nparts:2 * nparts])
+    da = tuple(m[b] for m in mat_refs[2 * nparts:3 * nparts])
+    dt = tuple(m[b] for m in mat_refs[3 * nparts:4 * nparts])
+    prec = (jax.lax.Precision.HIGHEST if terms == 0
+            else jax.lax.Precision.DEFAULT)
 
     for c in range(3):
         q = wins[c]
@@ -223,14 +233,14 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         p = q * convw
         ps = _split(p, terms)
         S, D = (sa, da) if c == axis else (st, dt)
-        stacked = _contract_split(S, qs, axis)
+        stacked = _contract_split(S, qs, axis, prec)
         sl1 = [slice(None)] * 3
         sl1[axis] = slice(0, bs)
         sl2 = [slice(None)] * 3
         sl2[axis] = slice(bs, 2 * bs)
         dq = stacked[tuple(sl1)]
         d2q = stacked[tuple(sl2)]
-        dqd = _contract_split(D, ps, axis)
+        dqd = _contract_split(D, ps, axis, prec)
         r = -0.5 * (conv * dq + dqd) + nu * d2q
         if accumulate:
             r = r + accs[c][...]
@@ -381,9 +391,10 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                              accumulate=accumulate, terms=terms,
                              ab_olds=ab_olds, halo_ext=halo_ext)
 
+    nparts = max(terms, 1)
     in_specs = ([out_spec] * 3 if accumulate else []) \
         + fspecs * 3 + [out_spec] * (3 * ab_olds) \
-        + [sspec] * (2 * terms) + [dspec] * (2 * terms)
+        + [sspec] * (2 * nparts) + [dspec] * (2 * nparts)
     if halo_ext:
         in_specs = in_specs + [pl.BlockSpec((1,), lambda i, j, b: (0,),
                                             memory_space=pltpu.SMEM)]

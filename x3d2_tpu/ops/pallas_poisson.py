@@ -110,7 +110,8 @@ def _grad_kernel(*refs, terms, nvy, nvz):
 
 def _const_spec(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, lambda *_: (0,) * nd,
+                        memory_space=pltpu.VMEM)
 
 
 def _plane_spec(ny, nz):
@@ -204,4 +205,96 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             interpret=interpret,
         )(q, *m2)
 
-    return div_solve_fn, grad_fn
+    # x-stage applies as Pallas kernels too (see make_x_apply): plain
+    # variants for pressure_grads, subtract-fused for the correction
+    xk = {}
+    for name in ("sx", "ix", "gx_s", "gx_i"):
+        xk[name] = make_x_apply(d64[name], terms=terms,
+                                interpret=interpret)
+    for name in ("gx_s", "gx_i"):
+        xk[name + "_sub"] = make_x_apply(d64[name], terms=terms, sub=True,
+                                         interpret=interpret)
+
+    return div_solve_fn, grad_fn, xk
+
+
+# ---------------------------------------------------------------------------
+# Dense x-stage kernels: the projection's remaining einsums.
+#
+# An XLA HIGH einsum runs its three bf16 MXU passes without overlapping
+# the HBM streaming (measured 5.2 ms per 512^3 apply = flops + traffic
+# added, ~26 TF/s useful), while the same contraction inside a Pallas
+# kernel with manual bf16 splits pipelines DMA against the MXU
+# (~2.8 ms, ~51 TF/s — the slab kernels above). These kernels put the
+# x-stage applies (transform-folded divergence inputs and gradient
+# outputs) on the same footing, with the velocity-correction subtraction
+# fused into the gradient stage.
+# ---------------------------------------------------------------------------
+
+
+def _x_apply_kernel(*refs, terms, sub, nk):
+    """refs: f block (kb, t1, t2) [+ s block (n_out, t1, t2) when sub]
+    + matrix K-blocks (n_out, kb) + out (n_out, t1, t2). The x
+    contraction is K-blocked over the innermost grid dim: partial
+    products accumulate in the resident out block, and the final K step
+    applies `s - sum` (the fused pressure-correction update)."""
+    f_ref = refs[0]
+    i = 1
+    s_ref = None
+    if sub:
+        s_ref = refs[1]
+        i = 2
+    nparts = max(terms, 1)
+    m = refs[i:i + nparts]
+    out_ref = refs[i + nparts]
+    k = pl.program_id(2)
+    f = f_ref[...]
+    sh = f.shape
+    r = _mm_left(m, f.reshape(sh[0], -1), terms)
+    r = r.reshape((r.shape[0],) + sh[1:])
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] = out_ref[...] + r.astype(out_ref.dtype)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = r.astype(out_ref.dtype)
+
+    if sub:
+        @pl.when(k == nk - 1)
+        def _():
+            out_ref[...] = s_ref[...] - out_ref[...]
+
+
+def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
+                 interpret=False):
+    """Build fn(f[, s]) applying the dense (n_out, n_in) matrix along
+    axis 0 of a 3-D field (full-x tiles, grid over y/z and K blocks),
+    optionally fused with the correction `s - M @ f`."""
+    n_out, n_in = M64.shape
+    while n_in % kb:
+        kb //= 2
+    nk = n_in // kb
+    parts = [jnp.asarray(p) for p in split_hi_lo(M64, terms)]
+    in_spec = pl.BlockSpec((kb, t1, t2), lambda i, j, k: (k, i, j),
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((n_out, t1, t2), lambda i, j, k: (0, i, j),
+                          memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n_out, kb), lambda i, j, k: (0, k),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_x_apply_kernel, terms=terms, sub=sub, nk=nk)
+
+    def fn(f, s=None):
+        ny, nz = f.shape[1], f.shape[2]
+        grid = (ny // t1, nz // t2, nk)
+        args = (f, s) if sub else (f,)
+        specs = ([in_spec, s_spec] if sub else [in_spec]) \
+            + [mat_spec] * len(parts)
+        return pl.pallas_call(
+            kern, grid=grid, in_specs=specs, out_specs=s_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, ny, nz), f.dtype),
+            interpret=interpret,
+        )(*args, *parts)
+
+    return fn

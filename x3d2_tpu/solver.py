@@ -400,36 +400,41 @@ class NavierStokes:
 
         slab = getattr(self, "_slab_pressure", None)
         if slab is not None:
-            # resident-slab Pallas kernels for the y/z stages + solve
-            # (ops/pallas_poisson.py); x stages stay einsums (they
-            # contract the slab grid axis)
-            k1, k2 = slab
-            du = ap("sx", u, 0)
-            dv = ap("ix", v, 0)
-            dw = ap("ix", w, 0)
-            q = k1(du, dv, dw)
-            p_zy, dpdy, dpdz = k2(q)
-        else:
-            # divergence in the spectral basis (transform-fused stages)
-            du = ap("sx", u, 0)
-            dv = ap("ix", v, 0)
-            dw = ap("ix", w, 0)
-            duv = ap("iy", du, 1) + ap("sy", dv, 1)
-            dw = ap("iy", dw, 1)
-            F = ap("iz", duv, 2) + ap("sz", dw, 2)
-            # spectral solve diagonal
-            q = F * po.inv_waves
-            # gradient from the spectral solution (inverse-transform-fused)
-            nzv = self.ops[2].interpl_p2v.n_out
-            both = ap("gz_is", q, 2)
-            p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
-            dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
-            nyv = self.ops[1].interpl_p2v.n_out
-            both = ap("gy_is", p_z, 1)
-            p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
-            dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
-            # every stage must consume its axis' inverse transform once
-            dpdz = ap("gy_i", dpdz, 1)
+            # resident-slab Pallas kernels for the y/z stages + solve,
+            # and pipelined full-x-tile kernels for the x stages
+            # (ops/pallas_poisson.py)
+            q, p_zy, dpdy, dpdz = self._slab_mid(u, v, w)
+            xk = slab[2]
+            dpdx = xk["gx_s"](p_zy)
+            dpdy = xk["gx_i"](dpdy)
+            dpdz = xk["gx_i"](dpdz)
+            if keep_pressure:
+                p = q
+                for a in range(3):
+                    p = apply_matrix(po.Ti[a], p, a)
+            else:
+                p = q
+            return dpdx, dpdy, dpdz, p
+        # divergence in the spectral basis (transform-fused stages)
+        du = ap("sx", u, 0)
+        dv = ap("ix", v, 0)
+        dw = ap("ix", w, 0)
+        duv = ap("iy", du, 1) + ap("sy", dv, 1)
+        dw = ap("iy", dw, 1)
+        F = ap("iz", duv, 2) + ap("sz", dw, 2)
+        # spectral solve diagonal
+        q = F * po.inv_waves
+        # gradient from the spectral solution (inverse-transform-fused)
+        nzv = self.ops[2].interpl_p2v.n_out
+        both = ap("gz_is", q, 2)
+        p_z = jax.lax.slice_in_dim(both, 0, nzv, 1, 2)
+        dpdz = jax.lax.slice_in_dim(both, nzv, 2 * nzv, 1, 2)
+        nyv = self.ops[1].interpl_p2v.n_out
+        both = ap("gy_is", p_z, 1)
+        p_zy = jax.lax.slice_in_dim(both, 0, nyv, 1, 1)
+        dpdy = jax.lax.slice_in_dim(both, nyv, 2 * nyv, 1, 1)
+        # every stage must consume its axis' inverse transform once
+        dpdz = ap("gy_i", dpdz, 1)
         dpdx = ap("gx_s", p_zy, 0)
         dpdy = ap("gx_i", dpdy, 0)
         dpdz = ap("gx_i", dpdz, 0)
@@ -442,10 +447,35 @@ class NavierStokes:
             p = q
         return dpdx, dpdy, dpdz, p
 
+    def _slab_mid(self, u, v, w):
+        """x-stage divergence + slab kernels 1/2: everything of the
+        projection except the gradient x stage (ops/pallas_poisson.py)."""
+        k1, k2, xk = self._slab_pressure
+        du = xk["sx"](u)
+        dv = xk["ix"](v)
+        dw = xk["ix"](w)
+        q = k1(du, dv, dw)
+        p_zy, dpdy, dpdz = k2(q)
+        return q, p_zy, dpdy, dpdz
+
     def pressure_correction(self, u, v, w, keep_pressure=True):
         """Fractional-step projection (solver.f90:693-739): returns the
         divergence-free velocity and the pseudo-pressure field (CELL grid,
         scaled by dt like the reference; rescale p/dt only for output)."""
+        slab = getattr(self, "_slab_pressure", None)
+        if (slab is not None and not getattr(self, "_halo_mode", False)
+                and self.poisson.stretch_solver is None):
+            # velocity correction fused into the gradient x-stage kernels
+            q, p_zy, dpdy_s, dpdz_s = self._slab_mid(u, v, w)
+            xk = slab[2]
+            un = xk["gx_s_sub"](p_zy, u)
+            vn = xk["gx_i_sub"](dpdy_s, v)
+            wn = xk["gx_i_sub"](dpdz_s, w)
+            p = q
+            if keep_pressure:
+                for a in range(3):
+                    p = apply_matrix(self.poisson.Ti[a], p, a)
+            return un, vn, wn, p
         dpdx, dpdy, dpdz, p = self.pressure_grads(
             u, v, w, keep_pressure=keep_pressure)
         return u - dpdx, v - dpdy, w - dpdz, p
