@@ -8,13 +8,22 @@ Prints relative KE deviation at checkpoints and the per-step drift rate.
 <= 5e-11/step.)
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+# single int for a cubic grid, or "nx,ny,nz" (e.g. 128,128,256 — the
+# smallest shape where the v3/slab Pallas kernels are active)
+_arg = sys.argv[1] if len(sys.argv) > 1 else "64"
+dims = tuple(int(x) for x in _arg.split(","))
+if len(dims) == 1:
+    dims = dims * 3
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 checkpoints = sorted({steps // 10, steps // 4, steps // 2, steps})
 
@@ -24,7 +33,7 @@ from x3d2_tpu.cases import SolverParams, TGVCase
 
 
 def run(dtype, compensated, device=None, label=""):
-    mesh = Mesh((n, n, n), (2 * np.pi,) * 3,
+    mesh = Mesh(dims, (2 * np.pi,) * 3,
                 ((BC.PERIODIC, BC.PERIODIC),) * 3)
     params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
                           compensated=compensated)
@@ -40,21 +49,31 @@ def run(dtype, compensated, device=None, label=""):
     for it in range(1, steps + 1):
         state = step(state)
         if it in checkpoints:
-            u, v, w = state["u"], state["v"], state["w"]
-            kes[it] = float(0.5 * jnp.mean(
-                u.astype(jnp.float64) * u.astype(jnp.float64)
-                + v.astype(jnp.float64) * v.astype(jnp.float64)
-                + w.astype(jnp.float64) * w.astype(jnp.float64))
-                if dtype == jnp.float64 else
-                0.5 * jnp.mean(u * u + v * v + w * w))
+            # KE reduced host-side in f64: an on-device f32 mean has
+            # ~1e-7 noise, far above the compensated drift target
+            u = np.asarray(state["u"]).astype(np.float64)
+            v = np.asarray(state["v"]).astype(np.float64)
+            w = np.asarray(state["w"]).astype(np.float64)
+            kes[it] = 0.5 * float((u * u + v * v + w * w).mean())
     print(f"{label}: done")
     return kes
 
 
 jax.config.update("jax_enable_x64", True)
 cpu = jax.devices("cpu")[0]
-with jax.default_device(cpu):
-    ref = run(jnp.float64, False, label="f64 CPU reference")
+# the f64 CPU reference is ~25 min at kernel-active sizes: cache it
+_ck = f"/tmp/ke_ref_{'x'.join(map(str, dims))}_{steps}.npz"
+if os.path.exists(_ck):
+    _d = np.load(_ck)
+    ref = {int(k): float(_d[k]) for k in _d.files}
+    print("f64 CPU reference: cached")
+else:
+    with jax.default_device(cpu):
+        ref = run(jnp.float64, False, label="f64 CPU reference")
+    np.savez(_ck, **{str(k): v for k, v in ref.items()})
+# x64 off for the f32 TPU legs (Pallas kernel tracing recurses with
+# x64-widened index-map constants)
+jax.config.update("jax_enable_x64", False)
 plain = run(jnp.float32, False, label="f32 plain (TPU)")
 comp = run(jnp.float32, True, label="f32 compensated (TPU)")
 
