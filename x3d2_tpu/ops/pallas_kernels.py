@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_transeq import banded_blocks
+from .pallas_transeq import VMEM_LIMIT, banded_blocks
 
 _BF = jnp.bfloat16
 
@@ -313,15 +313,10 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
 
     other = [a for a in range(3) if a != axis]
     if free is None:
+        # full-size tiles even for the bf16x6 and AB-fused variants: the
+        # raised VMEM_LIMIT covers their extra operands (the halved
+        # tiles this used to need doubled the grid and cost ~2x)
         free = _free_dims(axis)
-        if terms >= 3:
-            # bf16x6 doubles the resident matrix parts and widens the
-            # halo streams; halve the leading tile to stay under VMEM
-            free = (max(4, free[0] // 2), free[1])
-        if ab_olds:
-            # the fused AB update adds 3*ab_olds history blocks and 3
-            # extra outputs; halve the leading tile to stay under VMEM
-            free = (max(4, free[0] // 2), free[1])
     t0, t1 = free
     if shape[other[0]] % t0 or shape[other[1]] % t1:
         raise ValueError(f"shape {shape} free dims not tileable")
@@ -444,6 +439,7 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
+            compiler_params=VMEM_LIMIT,
         )(*args)
         if ab_olds:
             return tuple(outs[:3]), tuple(outs[3:])
@@ -536,6 +532,7 @@ def make_lane_pencil_sweep(ops_axis, nu, shape, free=(4, 64), w=64,
             out_specs=[pencil] * 3,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=VMEM_LIMIT,
         )(u, v, w_, *mats)
 
     return fn
@@ -569,9 +566,8 @@ def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
 def _make_lane_sweep(ops_axis, nu, shape, terms, interpret, cfg):
     """Lane (axis 2) sweep: the single-read pencil kernel when the tile
     shapes fit (measured 16.1 vs 18.0 ms at 512^3), else the rolled
-    2-stream variant. bf16x6 mode keeps the rolled variant (the pencil's
-    resident split parts exceed VMEM with 3-part splits)."""
-    if terms in (1, 2) and not cfg:
+    2-stream variant."""
+    if terms in (1, 2, 3) and not cfg:
         try:
             return make_lane_pencil_sweep(ops_axis, nu, shape,
                                           interpret=interpret, terms=terms)

@@ -44,8 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_BAND_TOL, _dot_split, _split, banded_blocks,
-                             split_hi_lo)
+from .pallas_kernels import (_BAND_TOL, VMEM_LIMIT, _dot_split, _split,
+                             banded_blocks, split_hi_lo)
 
 _EPS = 1e-16  # matches matmul_poisson._EPS
 
@@ -155,6 +155,73 @@ def _grad_kernel(*refs, terms, nvy, nvz, banded_y, nb=0, bs=0, w=0):
     else:
         # gradient y stage on p_z (stacked), plus the interp of dpdz
         both_y = _mm_left(gy_is, p_z, terms)     # (2nvy, nvz)
+        pzy_ref[0] = both_y[:nvy].astype(pzy_ref.dtype)
+        dpdy_ref[0] = both_y[nvy:].astype(dpdy_ref.dtype)
+        dpdz_ref[0] = _mm_left(gy_i, dpdz_s,
+                               terms).astype(dpdz_ref.dtype)
+
+
+def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, n1, nb, bs, w):
+    """k1 and k2 merged: du,dv,dw -> q, p_zy, dpdy, dpdz with the
+    spectral solution q never leaving VMEM between the stages (saves its
+    HBM round-trip; enabled by the raised VMEM_LIMIT). q is still an
+    output — it is the carried pressure state (and feeds the physical-p
+    reconstruction under keep_pressure). Ref layout: 3 slabs + k1 mats
+    (n1 parts) + k2 mats + tables + scalars + 4 outs."""
+    nparts = max(terms, 1)
+    du_ref, dv_ref, dw_ref = refs[:3]
+    i = 3
+    m1 = refs[i:i + n1]
+    i += n1
+    ny_mats = 3 if banded_y else 2
+    m2 = refs[i:i + (1 + ny_mats) * nparts]
+    i += (1 + ny_mats) * nparts
+    (A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref) = refs[i:i + 6]
+    q_ref, pzy_ref, dpdy_ref, dpdz_ref = refs[i + 6:]
+
+    # ---- k1 body
+    iy, sy = m1[:nparts], m1[nparts:2 * nparts]
+    ty = m1[2 * nparts:3 * nparts] if banded_y else None
+    zo = ny_mats * nparts
+    iz, sz = m1[zo:zo + nparts], m1[zo + nparts:zo + 2 * nparts]
+    du, dv, dw = du_ref[0], dv_ref[0], dw_ref[0]
+    if banded_y:
+        duv = (_banded_left(iy, du, nb, bs, w, terms)
+               + _banded_left(sy, dv, nb, bs, w, terms))
+        dwm = _banded_left(iy, dw, nb, bs, w, terms)
+        F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
+        F = _mm_left(ty, F, terms)
+    else:
+        duv = _mm_left(iy, du, terms) + _mm_left(sy, dv, terms)
+        dwm = _mm_left(iy, dw, terms)
+        F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
+    gi = pl.program_id(0)
+    waves = k2x_ref[gi] * A_ref[...] + tx2_ref[gi] * B_ref[...]
+    ok = jnp.abs(waves) >= _EPS
+    inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
+    q = F * inv * (mx_ref[gi] * Myz_ref[...])
+    q_ref[0] = q.astype(q_ref.dtype)
+
+    # ---- k2 body
+    gz_is = m2[:nparts]
+    both_z = _mm_right(q, gz_is, terms)
+    p_z = both_z[:, :nvz]
+    dpdz_s = both_z[:, nvz:]
+    if banded_y:
+        giy = m2[nparts:2 * nparts]
+        gsy = m2[2 * nparts:3 * nparts]
+        tiy = m2[3 * nparts:4 * nparts]
+        G = _mm_left(tiy, p_z, terms)
+        H = _mm_left(tiy, dpdz_s, terms)
+        pzy_ref[0] = _banded_left(giy, G, nb, bs, w,
+                                  terms).astype(pzy_ref.dtype)
+        dpdy_ref[0] = _banded_left(gsy, G, nb, bs, w,
+                                   terms).astype(dpdy_ref.dtype)
+        dpdz_ref[0] = _banded_left(giy, H, nb, bs, w,
+                                   terms).astype(dpdz_ref.dtype)
+    else:
+        gy_is, gy_i = m2[nparts:2 * nparts], m2[2 * nparts:3 * nparts]
+        both_y = _mm_left(gy_is, p_z, terms)
         pzy_ref[0] = both_y[:nvy].astype(pzy_ref.dtype)
         dpdy_ref[0] = both_y[nvy:].astype(dpdy_ref.dtype)
         dpdz_ref[0] = _mm_left(gy_i, dpdz_s,
@@ -276,6 +343,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             k1, grid=grid, in_specs=k1_specs, out_specs=cell_plane,
             out_shape=jax.ShapeDtypeStruct((nx, ny, nz), du.dtype),
             interpret=interpret,
+            compiler_params=VMEM_LIMIT,
         )(du, dv, dw, *m1, *tables)
 
     k2 = functools.partial(_grad_kernel, terms=terms, nvy=nvy, nvz=nvz,
@@ -287,7 +355,28 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             k2, grid=grid, in_specs=k2_specs, out_specs=[vert_plane] * 3,
             out_shape=[jax.ShapeDtypeStruct((nx, nvy, nvz), q.dtype)] * 3,
             interpret=interpret,
+            compiler_params=VMEM_LIMIT,
         )(q, *m2)
+
+    # merged k1+k2: the spectral solution q stays VMEM-resident between
+    # the divergence/solve and gradient stages (saves its HBM read)
+    kmid = functools.partial(_pressure_mid_kernel, terms=terms, nvy=nvy,
+                             nvz=nvz, banded_y=banded_y, n1=len(m1),
+                             nb=nb, bs=bbs, w=bw)
+    kmid_specs = ([vert_plane] * 3
+                  + [_const_spec(p.shape) for p in m1]
+                  + [_const_spec(p.shape) for p in m2]
+                  + [_const_spec((ny, nz))] * 3 + [_scalar_spec(nx)] * 3)
+
+    def mid_fn(du, dv, dw):
+        return pl.pallas_call(
+            kmid, grid=grid, in_specs=kmid_specs,
+            out_specs=[cell_plane] + [vert_plane] * 3,
+            out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), du.dtype)]
+            + [jax.ShapeDtypeStruct((nx, nvy, nvz), du.dtype)] * 3,
+            interpret=interpret,
+            compiler_params=VMEM_LIMIT,
+        )(du, dv, dw, *m1, *m2, *tables)
 
     # x-stage applies as Pallas kernels too (see make_x_apply): plain
     # variants for pressure_grads, subtract-fused for the correction
@@ -299,7 +388,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
         xk[name + "_sub"] = make_x_apply(d64[name], terms=terms, sub=True,
                                          interpret=interpret)
 
-    return div_solve_fn, grad_fn, xk
+    return div_solve_fn, grad_fn, xk, mid_fn
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +468,7 @@ def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
             kern, grid=grid, in_specs=specs, out_specs=s_spec,
             out_shape=jax.ShapeDtypeStruct((n_out, ny, nz), f.dtype),
             interpret=interpret,
+            compiler_params=VMEM_LIMIT,
         )(*args, *parts)
 
     return fn

@@ -32,6 +32,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default scoped-VMEM cap is 16 MB, but v5e executes kernels
+# with up to ~72 MB of scoped VMEM (measured; 127 MB fails). Raising the
+# cap lets the hot kernels keep full-size tiles instead of halving them
+# to fit, and unlocks merged multi-stage kernels.
+VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+
 
 def _kernel(u_ref, v_ref, w_ref,
             m_du_a_ref, m_dud_a_ref, m_d2_a_ref,
@@ -168,6 +174,7 @@ def make_fused_transeq(ops_axis, nu, axis, shape,
             out_specs=[fout] * 3,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=VMEM_LIMIT,
         )(u, v, w, *mats)
 
     return fn

@@ -448,15 +448,15 @@ class NavierStokes:
         return dpdx, dpdy, dpdz, p
 
     def _slab_mid(self, u, v, w):
-        """x-stage divergence + slab kernels 1/2: everything of the
-        projection except the gradient x stage (ops/pallas_poisson.py)."""
-        k1, k2, xk = self._slab_pressure
+        """x-stage divergence + slab kernels: everything of the
+        projection except the gradient x stage (ops/pallas_poisson.py).
+        Uses the merged k1+k2 kernel (q never leaves VMEM)."""
+        slab = self._slab_pressure
+        xk = slab[2]
         du = xk["sx"](u)
         dv = xk["ix"](v)
         dw = xk["ix"](w)
-        q = k1(du, dv, dw)
-        p_zy, dpdy, dpdz = k2(q)
-        return q, p_zy, dpdy, dpdz
+        return slab[3](du, dv, dw)
 
     def pressure_correction(self, u, v, w, keep_pressure=True):
         """Fractional-step projection (solver.f90:693-739): returns the
