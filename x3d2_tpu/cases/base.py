@@ -93,10 +93,10 @@ class BaseCase:
         # the velocity mid blocks are VMEM-resident) whenever the v3
         # Pallas kernels are active and no hook sits between transeq and
         # the update (forcings identity, no species, plain accumulation).
-        # Measured on v5e at 512^3: 100.2 ms/step fused vs 103.9 separate
-        # (the 21-operand kernel needs the leading tile halved for VMEM,
-        # but still beats the separate 15-pass AB update); X3D2_FUSED_AB=0
-        # switches the fusion off for A/B runs.
+        # Measured faster than the separate 15-pass AB elementwise update
+        # on v5e at 512^3 (100.2 vs 103.9 ms/step at the time of the
+        # comparison); X3D2_FUSED_AB=0 switches the fusion off for A/B
+        # runs.
         import os as _os
         self._fused_ab = None
         if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"

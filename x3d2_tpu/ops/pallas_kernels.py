@@ -466,13 +466,13 @@ def _lane_pencil_kernel(*refs, nu, w, bs, nb, terms):
 
     comps = [r[...] for r in (u_ref, v_ref, w_ref)]
     conv_full = comps[2]
+    conv_ext = jnp.concatenate([conv_full[..., -w:], conv_full,
+                                conv_full[..., :w]], axis=2)
     exts, pexts = [], []
     for q in comps:
         e = jnp.concatenate([q[..., -w:], q, q[..., :w]], axis=2)
         exts.append(_split(e, terms))
-        p = e * jnp.concatenate([conv_full[..., -w:], conv_full,
-                                 conv_full[..., :w]], axis=2)
-        pexts.append(_split(p, terms))
+        pexts.append(_split(e * conv_ext, terms))
 
     dn = (((2,), (1,)), ((), ()))  # contract the lane dim with M^T
     for b in range(nb):
@@ -591,9 +591,8 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     row (traced, so AB startup steps reuse the same program). The rhs
     outputs are the new olds[0]; rotation stays a tuple reshuffle."""
     cfgs = cfgs or {}
-    d2 = make_transeq_dir_v3(solver_ops[2], nu, 2, shape, terms=terms,
-                             accumulate=False, interpret=interpret,
-                             **cfgs.get(2, {}))
+    d2 = _make_lane_sweep(solver_ops[2], nu, shape, terms, interpret,
+                          cfgs.get(2, {}))
     d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape, terms=terms,
                              accumulate=True, interpret=interpret,
                              **cfgs.get(0, {}))

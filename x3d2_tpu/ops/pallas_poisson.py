@@ -79,23 +79,18 @@ def _banded_left(mat_refs, x, nb, bs, w, terms):
     return jnp.concatenate(outs, axis=0)
 
 
-def _div_solve_kernel(*refs, terms, banded_y, nb=0, bs=0, w=0):
-    """refs: du, dv, dw slabs; y-stage matrix parts (banded Iy/Sy +
-    dense Ty when banded_y, else transform-folded dense iy/sy), iz, sz
-    parts; A, B, Myz (ny,nz) tables; k2x, tx2, mx per-plane scalars;
-    out q."""
-    du_ref, dv_ref, dw_ref = refs[:3]
+def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w):
+    """Shared divergence-y/z + spectral-solve computation on one slab:
+    m1 = y-stage matrix parts (banded Iy/Sy + dense Ty when banded_y,
+    else transform-folded dense iy/sy) followed by iz, sz parts; tabs =
+    (A, B, Myz, k2x, tx2, mx) refs. Returns the spectral solution q."""
     nparts = max(terms, 1)
     ny_mats = 3 if banded_y else 2
-    m = refs[3:3 + (ny_mats + 2) * nparts]
-    iy, sy = m[:nparts], m[nparts:2 * nparts]
-    ty = m[2 * nparts:3 * nparts] if banded_y else None
+    iy, sy = m1[:nparts], m1[nparts:2 * nparts]
+    ty = m1[2 * nparts:3 * nparts] if banded_y else None
     zo = ny_mats * nparts
-    iz, sz = m[zo:zo + nparts], m[zo + nparts:zo + 2 * nparts]
-    (A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref,
-     q_ref) = refs[3 + (ny_mats + 2) * nparts:]
-
-    du, dv, dw = du_ref[0], dv_ref[0], dw_ref[0]
+    iz, sz = m1[zo:zo + nparts], m1[zo + nparts:zo + 2 * nparts]
+    A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref = tabs
     if banded_y:
         # factorized y stage: banded Iy/Sy then ONE dense Ty on each
         # combined field (flops: 2 dense + ~0.6 banded vs 3 dense)
@@ -116,116 +111,90 @@ def _div_solve_kernel(*refs, terms, banded_y, nb=0, bs=0, w=0):
     waves = k2x_ref[i] * A_ref[...] + tx2_ref[i] * B_ref[...]
     ok = jnp.abs(waves) >= _EPS
     inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
-    q_ref[0] = (F * inv * (mx_ref[i] * Myz_ref[...])).astype(q_ref.dtype)
+    return F * inv * (mx_ref[i] * Myz_ref[...])
 
 
-def _grad_kernel(*refs, terms, nvy, nvz, banded_y, nb=0, bs=0, w=0):
-    """refs: q slab (ncy,ncz); gz_is (2nvz,ncz) parts; y-stage parts
-    (banded Iy'/Sy' + dense Ti_y when banded_y, else folded gy_is/gy_i);
-    outs p_zy, dpdy, dpdz (nvy,nvz) — all still spectral in x; the x
-    stage follows in its own kernel."""
-    q_ref = refs[0]
+def _grad_body(q, m2, terms, banded_y, nvy, nvz, nb, bs, w):
+    """Shared gradient-z/y computation on one slab: m2 = gz_is parts +
+    y-stage parts (banded Iy'/Sy' + dense Ti_y when banded_y, else
+    folded gy_is/gy_i). Returns (p_zy, dpdy, dpdz) — still spectral in
+    x; the x stage follows in its own kernel."""
     nparts = max(terms, 1)
-    ny_mats = 3 if banded_y else 2
-    m = refs[1:1 + (1 + ny_mats) * nparts]
-    gz_is = m[:nparts]
-    if banded_y:
-        giy = m[nparts:2 * nparts]
-        gsy = m[2 * nparts:3 * nparts]
-        tiy = m[3 * nparts:4 * nparts]
-    else:
-        gy_is, gy_i = m[nparts:2 * nparts], m[2 * nparts:3 * nparts]
-    pzy_ref, dpdy_ref, dpdz_ref = refs[1 + (1 + ny_mats) * nparts:]
-
-    q = q_ref[0]
+    gz_is = m2[:nparts]
     # gradient z stage, interp/stagder row-stacked into one dot
     both_z = _mm_right(q, gz_is, terms)          # (ncy, 2nvz)
     p_z = both_z[:, :nvz]
     dpdz_s = both_z[:, nvz:]
     if banded_y:
         # factorized: ONE dense Ti_y per field, banded interp/stagder
-        G = _mm_left(tiy, p_z, terms)
-        H = _mm_left(tiy, dpdz_s, terms)
-        pzy_ref[0] = _banded_left(giy, G, nb, bs, w,
-                                  terms).astype(pzy_ref.dtype)
-        dpdy_ref[0] = _banded_left(gsy, G, nb, bs, w,
-                                   terms).astype(dpdy_ref.dtype)
-        dpdz_ref[0] = _banded_left(giy, H, nb, bs, w,
-                                   terms).astype(dpdz_ref.dtype)
-    else:
-        # gradient y stage on p_z (stacked), plus the interp of dpdz
-        both_y = _mm_left(gy_is, p_z, terms)     # (2nvy, nvz)
-        pzy_ref[0] = both_y[:nvy].astype(pzy_ref.dtype)
-        dpdy_ref[0] = both_y[nvy:].astype(dpdy_ref.dtype)
-        dpdz_ref[0] = _mm_left(gy_i, dpdz_s,
-                               terms).astype(dpdz_ref.dtype)
-
-
-def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, n1, nb, bs, w):
-    """k1 and k2 merged: du,dv,dw -> q, p_zy, dpdy, dpdz with the
-    spectral solution q never leaving VMEM between the stages (saves its
-    HBM round-trip; enabled by the raised VMEM_LIMIT). q is still an
-    output — it is the carried pressure state (and feeds the physical-p
-    reconstruction under keep_pressure). Ref layout: 3 slabs + k1 mats
-    (n1 parts) + k2 mats + tables + scalars + 4 outs."""
-    nparts = max(terms, 1)
-    du_ref, dv_ref, dw_ref = refs[:3]
-    i = 3
-    m1 = refs[i:i + n1]
-    i += n1
-    ny_mats = 3 if banded_y else 2
-    m2 = refs[i:i + (1 + ny_mats) * nparts]
-    i += (1 + ny_mats) * nparts
-    (A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref) = refs[i:i + 6]
-    q_ref, pzy_ref, dpdy_ref, dpdz_ref = refs[i + 6:]
-
-    # ---- k1 body
-    iy, sy = m1[:nparts], m1[nparts:2 * nparts]
-    ty = m1[2 * nparts:3 * nparts] if banded_y else None
-    zo = ny_mats * nparts
-    iz, sz = m1[zo:zo + nparts], m1[zo + nparts:zo + 2 * nparts]
-    du, dv, dw = du_ref[0], dv_ref[0], dw_ref[0]
-    if banded_y:
-        duv = (_banded_left(iy, du, nb, bs, w, terms)
-               + _banded_left(sy, dv, nb, bs, w, terms))
-        dwm = _banded_left(iy, dw, nb, bs, w, terms)
-        F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
-        F = _mm_left(ty, F, terms)
-    else:
-        duv = _mm_left(iy, du, terms) + _mm_left(sy, dv, terms)
-        dwm = _mm_left(iy, dw, terms)
-        F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
-    gi = pl.program_id(0)
-    waves = k2x_ref[gi] * A_ref[...] + tx2_ref[gi] * B_ref[...]
-    ok = jnp.abs(waves) >= _EPS
-    inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
-    q = F * inv * (mx_ref[gi] * Myz_ref[...])
-    q_ref[0] = q.astype(q_ref.dtype)
-
-    # ---- k2 body
-    gz_is = m2[:nparts]
-    both_z = _mm_right(q, gz_is, terms)
-    p_z = both_z[:, :nvz]
-    dpdz_s = both_z[:, nvz:]
-    if banded_y:
         giy = m2[nparts:2 * nparts]
         gsy = m2[2 * nparts:3 * nparts]
         tiy = m2[3 * nparts:4 * nparts]
         G = _mm_left(tiy, p_z, terms)
         H = _mm_left(tiy, dpdz_s, terms)
-        pzy_ref[0] = _banded_left(giy, G, nb, bs, w,
-                                  terms).astype(pzy_ref.dtype)
-        dpdy_ref[0] = _banded_left(gsy, G, nb, bs, w,
-                                   terms).astype(dpdy_ref.dtype)
-        dpdz_ref[0] = _banded_left(giy, H, nb, bs, w,
-                                   terms).astype(dpdz_ref.dtype)
-    else:
-        gy_is, gy_i = m2[nparts:2 * nparts], m2[2 * nparts:3 * nparts]
-        both_y = _mm_left(gy_is, p_z, terms)
-        pzy_ref[0] = both_y[:nvy].astype(pzy_ref.dtype)
-        dpdy_ref[0] = both_y[nvy:].astype(dpdy_ref.dtype)
-        dpdz_ref[0] = _mm_left(gy_i, dpdz_s,
-                               terms).astype(dpdz_ref.dtype)
+        return (_banded_left(giy, G, nb, bs, w, terms),
+                _banded_left(gsy, G, nb, bs, w, terms),
+                _banded_left(giy, H, nb, bs, w, terms))
+    # gradient y stage on p_z (stacked), plus the interp of dpdz
+    gy_is, gy_i = m2[nparts:2 * nparts], m2[2 * nparts:3 * nparts]
+    both_y = _mm_left(gy_is, p_z, terms)         # (2nvy, nvz)
+    return (both_y[:nvy], both_y[nvy:], _mm_left(gy_i, dpdz_s, terms))
+
+
+def _n_mats1(terms, banded_y):
+    return ((3 if banded_y else 2) + 2) * max(terms, 1)
+
+
+def _n_mats2(terms, banded_y):
+    return (1 + (3 if banded_y else 2)) * max(terms, 1)
+
+
+def _div_solve_kernel(*refs, terms, banded_y, nb=0, bs=0, w=0):
+    """refs: du, dv, dw slabs + m1 matrix parts + tables + out q."""
+    du_ref, dv_ref, dw_ref = refs[:3]
+    n1 = _n_mats1(terms, banded_y)
+    m1 = refs[3:3 + n1]
+    tabs = refs[3 + n1:3 + n1 + 6]
+    q_ref = refs[3 + n1 + 6]
+    q = _div_solve_body(du_ref[0], dv_ref[0], dw_ref[0], m1, tabs,
+                        terms, banded_y, nb, bs, w)
+    q_ref[0] = q.astype(q_ref.dtype)
+
+
+def _grad_kernel(*refs, terms, nvy, nvz, banded_y, nb=0, bs=0, w=0):
+    """refs: q slab + m2 matrix parts + outs p_zy, dpdy, dpdz."""
+    q_ref = refs[0]
+    n2 = _n_mats2(terms, banded_y)
+    m2 = refs[1:1 + n2]
+    pzy_ref, dpdy_ref, dpdz_ref = refs[1 + n2:]
+    p_zy, dpdy, dpdz = _grad_body(q_ref[0], m2, terms, banded_y,
+                                  nvy, nvz, nb, bs, w)
+    pzy_ref[0] = p_zy.astype(pzy_ref.dtype)
+    dpdy_ref[0] = dpdy.astype(dpdy_ref.dtype)
+    dpdz_ref[0] = dpdz.astype(dpdz_ref.dtype)
+
+
+def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, nb, bs, w):
+    """k1 and k2 merged: du,dv,dw -> q, p_zy, dpdy, dpdz with the
+    spectral solution q never leaving VMEM between the stages (saves its
+    HBM round-trip; enabled by the raised VMEM_LIMIT). q is still an
+    output — it is the carried pressure state (and feeds the physical-p
+    reconstruction under keep_pressure)."""
+    du_ref, dv_ref, dw_ref = refs[:3]
+    n1 = _n_mats1(terms, banded_y)
+    n2 = _n_mats2(terms, banded_y)
+    m1 = refs[3:3 + n1]
+    m2 = refs[3 + n1:3 + n1 + n2]
+    tabs = refs[3 + n1 + n2:3 + n1 + n2 + 6]
+    q_ref, pzy_ref, dpdy_ref, dpdz_ref = refs[3 + n1 + n2 + 6:]
+    q = _div_solve_body(du_ref[0], dv_ref[0], dw_ref[0], m1, tabs,
+                        terms, banded_y, nb, bs, w)
+    q_ref[0] = q.astype(q_ref.dtype)
+    p_zy, dpdy, dpdz = _grad_body(q, m2, terms, banded_y, nvy, nvz,
+                                  nb, bs, w)
+    pzy_ref[0] = p_zy.astype(pzy_ref.dtype)
+    dpdy_ref[0] = dpdy.astype(dpdy_ref.dtype)
+    dpdz_ref[0] = dpdz.astype(dpdz_ref.dtype)
 
 
 def _const_spec(shape):
@@ -246,7 +215,7 @@ def _scalar_spec(nx):
     return pl.BlockSpec((nx,), lambda i: (0,), memory_space=pltpu.SMEM)
 
 
-def slab_pressure_supported(ns, shape=None) -> bool:
+def slab_pressure_supported(ns) -> bool:
     """MatmulPoisson without stretching; slab dims obeying the Mosaic
     last-two-dims tiling rules (sublane % 8, lane % 128) for both the
     VERT-sized and CELL-sized y/z extents."""
@@ -361,7 +330,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
     # merged k1+k2: the spectral solution q stays VMEM-resident between
     # the divergence/solve and gradient stages (saves its HBM read)
     kmid = functools.partial(_pressure_mid_kernel, terms=terms, nvy=nvy,
-                             nvz=nvz, banded_y=banded_y, n1=len(m1),
+                             nvz=nvz, banded_y=banded_y,
                              nb=nb, bs=bbs, w=bw)
     kmid_specs = ([vert_plane] * 3
                   + [_const_spec(p.shape) for p in m1]
