@@ -448,58 +448,88 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     return fn
 
 
-def _lane_pencil_kernel(*refs, nu, w, bs, nb, terms):
-    """Full-lane-pencil sweep for axis 2: refs are (t0, t1, n) pencils of
-    u, v, w + matrix stacks + 3 outputs. Each field is read from HBM
-    exactly ONCE (vs the rolled 2-stream cover's 2x block fetches plus a
-    roll pre-pass = 5 passes/field): the pencil is halo-extended by
-    concat in VMEM, split into bf16 parts once, and all nb output blocks
-    are computed from 128-aligned slices of the extended parts."""
-    u_ref, v_ref, w_ref = refs[:3]
+def _pencil_kernel(*refs, axis, nu, w, bs, nb, terms, accumulate):
+    """Full-sweep-axis pencil kernel: refs are [acc pencils]? + pencils
+    of u, v, w (full extent along `axis`) + matrix stacks + 3 outputs.
+    Each field is read from HBM exactly ONCE per sweep (the streamed
+    window covers re-fetch overlapping blocks; the lane axis previously
+    also paid a roll pre-pass): the pencil is halo-extended by concat in
+    VMEM, split into bf16 parts once, and all nb output blocks are
+    computed from aligned slices of the extended parts."""
+    i = 0
+    accs = None
+    if accumulate:
+        accs = refs[:3]
+        i = 3
+    u_ref, v_ref, w_ref = refs[i:i + 3]
+    i += 3
     nparts = max(terms, 1)
-    m = refs[3:3 + 4 * nparts]
+    m = refs[i:i + 4 * nparts]
     sa, st = m[:nparts], m[nparts:2 * nparts]
     da, dt = m[2 * nparts:3 * nparts], m[3 * nparts:4 * nparts]
-    outs = refs[3 + 4 * nparts:]
+    outs = refs[i + 4 * nparts:]
     prec = (jax.lax.Precision.HIGHEST if terms == 0
             else jax.lax.Precision.DEFAULT)
 
+    def asl(lo, hi):
+        s = [slice(None)] * 3
+        s[axis] = slice(lo, hi)
+        return tuple(s)
+
     comps = [r[...] for r in (u_ref, v_ref, w_ref)]
-    conv_full = comps[2]
-    conv_ext = jnp.concatenate([conv_full[..., -w:], conv_full,
-                                conv_full[..., :w]], axis=2)
+    conv_full = comps[axis]
+    n = conv_full.shape[axis]
+
+    def extend(q):
+        return jnp.concatenate([q[asl(n - w, n)], q, q[asl(0, w)]],
+                               axis=axis)
+
+    conv_ext = extend(conv_full)
     exts, pexts = [], []
     for q in comps:
-        e = jnp.concatenate([q[..., -w:], q, q[..., :w]], axis=2)
+        e = extend(q)
         exts.append(_split(e, terms))
         pexts.append(_split(e * conv_ext, terms))
 
-    dn = (((2,), (1,)), ((), ()))  # contract the lane dim with M^T
     for b in range(nb):
-        sl = slice(b * bs, b * bs + bs + 2 * w)
-        conv = conv_full[..., b * bs:(b + 1) * bs]
+        sl = asl(b * bs, b * bs + bs + 2 * w)
+        out_sl = asl(b * bs, (b + 1) * bs)
+        conv = conv_full[out_sl]
         for c in range(3):
-            qs = tuple(x[..., sl] for x in exts[c])
-            ps = tuple(x[..., sl] for x in pexts[c])
-            S, D = (sa, da) if c == 2 else (st, dt)
-            stacked = _dot_split(qs, tuple(M[b] for M in S), dn, prec)
-            dq = stacked[..., :bs]
-            d2q = stacked[..., bs:]
-            dqd = _dot_split(ps, tuple(M[b] for M in D), dn, prec)
+            qs = tuple(x[sl] for x in exts[c])
+            ps = tuple(x[sl] for x in pexts[c])
+            S, D = (sa, da) if c == axis else (st, dt)
+            Sb = tuple(M[b] for M in S)
+            Db = tuple(M[b] for M in D)
+            stacked = _contract_split(Sb, qs, axis, prec)
+            dq = stacked[asl(0, bs)]
+            d2q = stacked[asl(bs, 2 * bs)]
+            dqd = _contract_split(Db, ps, axis, prec)
             r = -0.5 * (conv * dq + dqd) + nu * d2q
-            outs[c][..., b * bs:(b + 1) * bs] = r.astype(outs[c].dtype)
+            if accumulate:
+                r = r + accs[c][out_sl]
+            outs[c][out_sl] = r.astype(outs[c].dtype)
 
 
-def make_lane_pencil_sweep(ops_axis, nu, shape, free=(4, 64), w=64,
-                           bs=128, interpret=False, terms=2):
-    """Single-read lane (axis 2) sweep: fn(u, v, w) -> (du, dv, dw).
-    Drop-in replacement for the rolled 2-stream d2 sweep with ~2.5x less
-    HBM read traffic."""
-    n = shape[2]
-    if n % bs or shape[0] % free[0] or shape[1] % free[1]:
+def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
+                      bs=None, interpret=False, terms=2, accumulate=False):
+    """Single-read direction sweep: fn(u, v, w[, acc]) -> (du, dv, dw).
+    The sweep axis stays fully VMEM-resident per grid step (enabled by
+    the raised VMEM_LIMIT); drop-in replacement for the windowed-stream
+    sweeps with ~1.5-2.5x less HBM read traffic."""
+    lane = axis == 2
+    if bs is None:
+        bs = 128 if lane else 64
+    if w is None:
+        w = 64 if lane else (32 if terms >= 3 else 16)
+    if free is None:
+        free = {0: (8, 128), 1: (8, 128), 2: (4, 64)}[axis]
+    n = shape[axis]
+    other = [a for a in range(3) if a != axis]
+    t0, t1 = free
+    if n % bs or shape[other[0]] % t0 or shape[other[1]] % t1:
         raise ValueError(f"shape {shape} not tileable for pencil sweep")
     nb = n // bs
-    t0, t1 = free
 
     d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
     d2, d2s = ops_axis.der2nd, ops_axis.der2nd_sym
@@ -511,29 +541,44 @@ def make_lane_pencil_sweep(ops_axis, nu, shape, free=(4, 64), w=64,
     for M in (sa, st, da, dt):
         mats += [jnp.asarray(p) for p in split_hi_lo(M, terms)]
 
-    pencil = pl.BlockSpec((t0, t1, n), lambda i, j: (i, j, 0),
-                          memory_space=pltpu.VMEM)
+    blk = [0, 0, 0]
+    blk[axis] = n
+    blk[other[0]] = t0
+    blk[other[1]] = t1
+
+    def pmap(i, j):
+        idx = [0, 0, 0]
+        idx[other[0]] = i
+        idx[other[1]] = j
+        return tuple(idx)
+
+    pencil = pl.BlockSpec(tuple(blk), pmap, memory_space=pltpu.VMEM)
     nparts = max(terms, 1)
     win = bs + 2 * w
     sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((nb, bs, win), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    kern = functools.partial(_lane_pencil_kernel, nu=float(nu), w=w, bs=bs,
-                             nb=nb, terms=terms)
-    grid = (shape[0] // t0, shape[1] // t1)
+    kern = functools.partial(_pencil_kernel, axis=axis, nu=float(nu), w=w,
+                             bs=bs, nb=nb, terms=terms,
+                             accumulate=accumulate)
+    grid = (shape[other[0]] // t0, shape[other[1]] // t1)
+    aliases = {0: 0, 1: 1, 2: 2} if accumulate else {}
 
-    def fn(u, v, w_):
+    def fn(u, v, w_, acc=None):
+        args = (list(acc) if accumulate else []) + [u, v, w_] + mats
         out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * 3
         return pl.pallas_call(
             kern, grid=grid,
-            in_specs=[pencil] * 3 + [sspec] * (2 * nparts)
+            in_specs=([pencil] * 3 if accumulate else [])
+            + [pencil] * 3 + [sspec] * (2 * nparts)
             + [dspec] * (2 * nparts),
             out_specs=[pencil] * 3,
             out_shape=out_shape,
+            input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=VMEM_LIMIT,
-        )(u, v, w_, *mats)
+        )(*args)
 
     return fn
 
@@ -545,14 +590,12 @@ def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
     terms=2 -> bf16x3 (Precision.HIGH); terms=3 -> bf16x6 (HIGHEST, the
     KE-parity mode, ~2x the matmul cost)."""
     cfgs = cfgs or {}
-    d2 = _make_lane_sweep(solver_ops[2], nu, shape, terms, interpret,
-                          cfgs.get(2, {}))
-    d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape, terms=terms,
-                             accumulate=True, interpret=interpret,
-                             **cfgs.get(0, {}))
-    d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
-                             accumulate=True, interpret=interpret,
-                             **cfgs.get(1, {}))
+    d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
+                     cfgs.get(2, {}))
+    d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
+                     cfgs.get(0, {}), accumulate=True)
+    d1 = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
+                     cfgs.get(1, {}), accumulate=True)
 
     def fn(u, v, w):
         acc = d2(u, v, w)
@@ -563,19 +606,25 @@ def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
     return fn
 
 
-def _make_lane_sweep(ops_axis, nu, shape, terms, interpret, cfg):
-    """Lane (axis 2) sweep: the single-read pencil kernel when the tile
-    shapes fit (measured 16.1 vs 18.0 ms at 512^3), else the rolled
-    2-stream variant."""
-    if terms in (1, 2, 3) and not cfg:
+def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
+                accumulate=False, ab_olds=0):
+    """One direction sweep: the single-read pencil kernel on the lane
+    axis (16.1 vs 18.0 ms at 512^3 — it also replaces the roll
+    pre-pass), else the windowed-stream variant. Non-lane pencils were
+    MEASURED SLOWER (512^3 step 85.3 vs 82.0 ms with a pencil d0: the
+    3-stream windows' small halo fetches beat holding the full sweep
+    axis resident), and the AB-fused final sweep needs per-block history
+    operands."""
+    if axis == 2 and not cfg and not ab_olds:
         try:
-            return make_lane_pencil_sweep(ops_axis, nu, shape,
-                                          interpret=interpret, terms=terms)
+            return make_pencil_sweep(ops_axis, nu, axis, shape,
+                                     interpret=interpret, terms=terms,
+                                     accumulate=accumulate)
         except ValueError:
             pass
-    return make_transeq_dir_v3(ops_axis, nu, 2, shape, terms=terms,
-                               accumulate=False, interpret=interpret,
-                               **cfg)
+    return make_transeq_dir_v3(ops_axis, nu, axis, shape, terms=terms,
+                               accumulate=accumulate, ab_olds=ab_olds,
+                               interpret=interpret, **cfg)
 
 
 def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
@@ -591,11 +640,10 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     row (traced, so AB startup steps reuse the same program). The rhs
     outputs are the new olds[0]; rotation stays a tuple reshuffle."""
     cfgs = cfgs or {}
-    d2 = _make_lane_sweep(solver_ops[2], nu, shape, terms, interpret,
-                          cfgs.get(2, {}))
-    d0 = make_transeq_dir_v3(solver_ops[0], nu, 0, shape, terms=terms,
-                             accumulate=True, interpret=interpret,
-                             **cfgs.get(0, {}))
+    d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
+                     cfgs.get(2, {}))
+    d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
+                     cfgs.get(0, {}), accumulate=True)
     d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
                              accumulate=True, ab_olds=nolds,
                              interpret=interpret, **cfgs.get(1, {}))
