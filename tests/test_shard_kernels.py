@@ -50,3 +50,23 @@ def test_unsupported_local_extents():
     ns = _solver((32, 32, 32))
     dmesh = make_device_mesh(2, 4)
     assert not sharded_transeq_v3_supported(ns, dmesh)
+
+
+def test_sharded_x_apply_matches_dense():
+    from x3d2_tpu.parallel.shard_kernels import (sharded_x_apply_supported,
+                                                wrap_x_ops)
+    from x3d2_tpu.parallel.topo import shard_state
+    dims = (64, 128, 256)
+    ns = _solver(dims)
+    dmesh = make_device_mesh(2, 2)
+    assert sharded_x_apply_supported(ns, dmesh)
+    bundle = wrap_x_ops(ns, dmesh, terms=2, interpret=True)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal(dims), jnp.float32)
+    fs = shard_state(dmesh, {"u": f})["u"]
+    for name in ("der1st", "stagder_v2p", "interpl_p2v"):
+        got = jax.jit(lambda x, n=name: getattr(bundle, n)(x, 0))(fs)
+        want = getattr(ns.ops[0], name)(f, 0)
+        scale = float(jnp.max(jnp.abs(want)))
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 5e-5 * scale, f"{name}: {err:.2e}"

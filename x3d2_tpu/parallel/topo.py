@@ -163,14 +163,23 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
     if os.environ.get("X3D2_PALLAS", "1") != "0":
         from ..ops.compact import PRECISION
         from .shard_kernels import (make_sharded_transeq_v3,
-                                    sharded_transeq_v3_supported)
+                                    sharded_transeq_v3_supported,
+                                    sharded_x_apply_supported, wrap_x_ops)
         terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
+        interp = dmesh.devices.flat[0].platform != "tpu"
         if sharded_transeq_v3_supported(solver, dmesh, terms=terms):
-            interp = dmesh.devices.flat[0].platform != "tpu"
             object.__setattr__(
                 halo_solver, "_transeq_v3",
                 make_sharded_transeq_v3(solver, dmesh, terms=terms,
                                         interpret=interp))
+        if (getattr(halo_solver, "_halo_mode", False)
+                and sharded_x_apply_supported(solver, dmesh)):
+            # the x axis is never sharded: its dense applies run as
+            # per-shard Pallas K-blocked kernels inside shard_map
+            object.__setattr__(
+                halo_solver, "ops",
+                (wrap_x_ops(solver, dmesh, terms=terms, interpret=interp),)
+                + tuple(halo_solver.ops[1:]))
     sh = state_shardings(dmesh, state)
     if pin_shardings is None:
         pin_shardings = dmesh.devices.flat[0].platform != "cpu"
