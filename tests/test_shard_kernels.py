@@ -52,6 +52,58 @@ def test_unsupported_local_extents():
     assert not sharded_transeq_v3_supported(ns, dmesh)
 
 
+def test_repencilled_pressure_matches_single():
+    """Repencilled slab projection (all-to-all to x-sharded + merged
+    kernel) vs the single-device fused einsum projection."""
+    from x3d2_tpu.parallel.shard_kernels import (make_repencilled_pressure,
+                                                repencil_supported)
+    from x3d2_tpu.parallel.topo import shard_state
+    dims = (64, 128, 256)
+    ns = _solver(dims)
+    dmesh = make_device_mesh(2, 2)
+    assert repencil_supported(ns, dmesh)
+    fn = make_repencilled_pressure(ns, dmesh, terms=2, interpret=True)
+    rng = np.random.default_rng(9)
+    u, v, w = (jnp.asarray(rng.standard_normal(dims), jnp.float32)
+               for _ in range(3))
+    st = shard_state(dmesh, {"u": u, "v": v, "w": w})
+    got = jax.jit(lambda a, b, c: fn(a, b, c, True))(
+        st["u"], st["v"], st["w"])
+    want = ns.pressure_correction(u, v, w, keep_pressure=True)
+    for g, e, name in zip(got, want, ("u", "v", "w", "p")):
+        scale = float(jnp.max(jnp.abs(e))) + 1e-30
+        err = float(jnp.max(jnp.abs(g - e)))
+        assert err < 3e-4 * scale, f"{name}: {err:.2e} vs {scale:.2e}"
+
+
+def test_sharded_step_with_kernels_matches_single():
+    """One full sharded AB3 step at a size where the repencilled
+    projection and the per-shard x-apply kernels are both active,
+    against the single-device step."""
+    from x3d2_tpu.cases import SolverParams, TGVCase
+    from x3d2_tpu.parallel.topo import make_sharded_step
+
+    def case():
+        mesh = Mesh((64, 128, 256), (2 * np.pi,) * 3,
+                    ((BC.PERIODIC, BC.PERIODIC),) * 3)
+        return TGVCase(mesh, SolverParams(Re=1600.0, time_intg="AB3",
+                                          dt=1e-3),
+                       dtype=jnp.float32, monitor_path=None, verbose=False)
+
+    ca = case()
+    sa = ca.step_fn(ca.initial_state())
+
+    cb = case()
+    dmesh = make_device_mesh(2, 2)
+    step, sb = make_sharded_step(cb, dmesh)
+    assert getattr(cb.solver, "_repencil_pressure", None) is None  # copy
+    sb = step(sb)
+    uscale = float(jnp.max(jnp.abs(sa["u"])))  # w starts at 0 in TGV
+    for k in ("u", "v", "w"):
+        err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
+        assert err < 3e-4 * uscale, f"{k}: {err:.2e}"
+
+
 def test_sharded_x_apply_matches_dense():
     from x3d2_tpu.parallel.shard_kernels import (sharded_x_apply_supported,
                                                 wrap_x_ops)

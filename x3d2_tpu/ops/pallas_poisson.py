@@ -347,6 +347,31 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             compiler_params=VMEM_LIMIT,
         )(du, dv, dw, *m1, *m2, *tables)
 
+    def make_mid_local(nx_loc):
+        """Mid-kernel variant for the repencilled sharded projection:
+        grid over a LOCAL x-plane batch, with the per-plane solve tables
+        (k2x, Tx^2, mx slices for this shard's global x range) passed as
+        runtime arguments instead of baked-in constants."""
+        lspecs = ([_plane_spec(nvy, nvz)] * 3
+                  + [_const_spec(p.shape) for p in m1]
+                  + [_const_spec(p.shape) for p in m2]
+                  + [_const_spec((ny, nz))] * 3 + [_scalar_spec(nx_loc)] * 3)
+
+        def mid_local(du, dv, dw, k2x_l, tx2_l, mx_l):
+            return pl.pallas_call(
+                kmid, grid=(nx_loc,), in_specs=lspecs,
+                out_specs=[_plane_spec(ny, nz)]
+                + [_plane_spec(nvy, nvz)] * 3,
+                out_shape=[jax.ShapeDtypeStruct((nx_loc, ny, nz),
+                                                du.dtype)]
+                + [jax.ShapeDtypeStruct((nx_loc, nvy, nvz), du.dtype)] * 3,
+                interpret=interpret,
+                compiler_params=VMEM_LIMIT,
+            )(du, dv, dw, *m1, *m2, tables[0], tables[1], tables[2],
+              k2x_l, tx2_l, mx_l)
+
+        return mid_local
+
     # x-stage applies as Pallas kernels too (see make_x_apply): plain
     # variants for pressure_grads, subtract-fused for the correction
     xk = {}
@@ -357,7 +382,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
         xk[name + "_sub"] = make_x_apply(d64[name], terms=terms, sub=True,
                                          interpret=interpret)
 
-    return div_solve_fn, grad_fn, xk, mid_fn
+    return div_solve_fn, grad_fn, xk, mid_fn, make_mid_local
 
 
 # ---------------------------------------------------------------------------

@@ -184,6 +184,105 @@ def sharded_x_apply_supported(solver, dmesh, t1=8, t2=128) -> bool:
     return True
 
 
+def repencil_supported(solver, dmesh) -> bool:
+    """Repencilled slab projection: the single-chip slab/mid pressure
+    kernels need full (y,z) planes, so sharded runs transpose the
+    x-spectral divergence field to an x-sharded layout (two tiled
+    all-to-alls over the mesh axes — the 2DECOMP/cuFFTMp repencilling
+    pattern, reference decomp/2decomp) and run the merged kernel on each
+    device's x-plane batch. Requires the single-chip slab gate plus x
+    divisibility by the device count."""
+    from ..ops.pallas_poisson import slab_pressure_supported
+    if not slab_pressure_supported(solver):
+        return False
+    nx = solver.mesh.dims(DataLoc.CELL)[0]
+    return nx % dmesh.devices.size == 0
+
+
+def make_repencilled_pressure(solver, dmesh: DeviceMesh, terms=2,
+                              interpret=False):
+    """Build fn(u, v, w, keep_pressure) -> (u', v', w', p) running the
+    fused slab-projection kernel stack per shard:
+
+      x-apply (local)  ->  all-to-all to x-sharded  ->  merged slab
+      kernel on full (y,z) planes  ->  all-to-all back  ->  gradient
+      x-apply with fused correction (local)
+
+    Exactly the single-chip arithmetic (same matrices, same kernels), so
+    sharded == single up to collective reduction order."""
+    from ..ops.pallas_poisson import make_pressure_slab
+    slab = make_pressure_slab(solver, terms=terms, interpret=interpret)
+    xk, make_mid_local = slab[2], slab[4]
+    dims = solver.mesh.dims(DataLoc.VERT)
+    nxc, ny, nz = solver.mesh.dims(DataLoc.CELL)
+    nproc = dmesh.devices.size
+    nx_loc = nxc // nproc
+    mid_local = make_mid_local(nx_loc)
+    fspec = P(*field_spec(dmesh, dims))
+    po = solver.poisson
+    # full-length per-plane solve tables, sliced per shard at run time
+    k2x_full = jnp.asarray(po.k2_1d[0], jnp.float32)
+    tx2_full = jnp.asarray(np.asarray(po.T_1d[0]) ** 2, jnp.float32)
+    mx_full = np.ones(nxc, np.float32)
+    if po._zero_idx is not None and 0 in po._zero_idx:
+        mx_full[nxc // 2] = 0.0
+    mx_full = jnp.asarray(mx_full)
+    pz_dim = dmesh.shape["z"]
+
+    def a2a_to_x(f):
+        # (nx, ny_loc, nz_loc) -> (nx_loc, ny, nz)
+        for ax_name, concat in zip(("y", "z"), (1, 2)):
+            if dmesh.shape[ax_name] > 1:
+                f = jax.lax.all_to_all(f, ax_name, split_axis=0,
+                                       concat_axis=concat, tiled=True)
+        return f
+
+    def a2a_from_x(f):
+        for ax_name, split in zip(("z", "y"), (2, 1)):
+            if dmesh.shape[ax_name] > 1:
+                f = jax.lax.all_to_all(f, ax_name, split_axis=split,
+                                       concat_axis=0, tiled=True)
+        return f
+
+    def local_fn(u, v, w):
+        du = xk["sx"](u)
+        dv = xk["ix"](v)
+        dw = xk["ix"](w)
+        du, dv, dw = a2a_to_x(du), a2a_to_x(dv), a2a_to_x(dw)
+        # this shard's global x range after the y-then-z transposes
+        off = ((jax.lax.axis_index("y") * pz_dim
+                + jax.lax.axis_index("z")) * nx_loc)
+
+        def sl(t):
+            return jax.lax.dynamic_slice(t, (off,), (nx_loc,))
+
+        q, p_zy, dpdy, dpdz = mid_local(du, dv, dw, sl(k2x_full),
+                                        sl(tx2_full), sl(mx_full))
+        p_zy, dpdy, dpdz = (a2a_from_x(p_zy), a2a_from_x(dpdy),
+                            a2a_from_x(dpdz))
+        un = xk["gx_s_sub"](p_zy, u)
+        vn = xk["gx_i_sub"](dpdy, v)
+        wn = xk["gx_i_sub"](dpdz, w)
+        return un, vn, wn, a2a_from_x(q)
+
+    cell_spec = P(*field_spec(dmesh, (nxc, ny, nz)))
+    sharded = jax.shard_map(
+        local_fn, mesh=dmesh, in_specs=(fspec,) * 3,
+        out_specs=(fspec,) * 3 + (cell_spec,), check_vma=False)
+
+    def fn(u, v, w, keep_pressure=True):
+        un, vn, wn, p = sharded(u, v, w)
+        if keep_pressure:
+            # physical p: inverse transforms as GSPMD contractions on
+            # the sharded spectral solution (y/z span shards)
+            from ..ops.compact import apply_matrix
+            for a in range(3):
+                p = apply_matrix(po.Ti[a], p, a)
+        return un, vn, wn, p
+
+    return fn
+
+
 def wrap_x_ops(solver, dmesh, terms=2, interpret=False):
     """Return the solver's AxisOps[0] bundle with every operator's apply
     routed through a shard-mapped Pallas x-kernel."""

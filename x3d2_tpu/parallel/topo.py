@@ -180,6 +180,16 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                 halo_solver, "ops",
                 (wrap_x_ops(solver, dmesh, terms=terms, interpret=interp),)
                 + tuple(halo_solver.ops[1:]))
+        from .shard_kernels import (make_repencilled_pressure,
+                                    repencil_supported)
+        if repencil_supported(solver, dmesh):
+            # repencilled slab projection: all-to-all the x-spectral
+            # divergence to an x-sharded layout and run the merged slab
+            # kernel on full (y,z) planes per shard (2DECOMP analogue)
+            object.__setattr__(
+                halo_solver, "_repencil_pressure",
+                make_repencilled_pressure(solver, dmesh, terms=terms,
+                                          interpret=interp))
     sh = state_shardings(dmesh, state)
     if pin_shardings is None:
         pin_shardings = dmesh.devices.flat[0].platform != "cpu"

@@ -462,6 +462,11 @@ class NavierStokes:
         """Fractional-step projection (solver.f90:693-739): returns the
         divergence-free velocity and the pseudo-pressure field (CELL grid,
         scaled by dt like the reference; rescale p/dt only for output)."""
+        rp = getattr(self, "_repencil_pressure", None)
+        if rp is not None:
+            # sharded: repencilled slab projection (2DECOMP analogue,
+            # parallel/shard_kernels.py)
+            return rp(u, v, w, keep_pressure)
         slab = getattr(self, "_slab_pressure", None)
         if (slab is not None and not getattr(self, "_halo_mode", False)
                 and self.poisson.stretch_solver is None):
