@@ -41,6 +41,9 @@ def main(argv=None):
                         help="multi-host: coordinator host:port "
                              "(or set JAX_COORDINATOR_ADDRESS / "
                              "JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
+    parser.add_argument("--n-iters", type=int, default=None,
+                        help="override the input file's n_iters "
+                             "(smoke runs, partial restarts)")
     args = parser.parse_args(argv)
 
     # multi-host: must run before any jax backend use (the analogue of
@@ -54,6 +57,8 @@ def main(argv=None):
     from .config import Config
 
     cfg = Config.from_file(args.input)
+    if args.n_iters is not None:
+        cfg.solver.n_iters = args.n_iters
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)

@@ -295,6 +295,9 @@ class BaseCase:
         n_output = n_output or self.params.n_output
         if state is None:
             state = self.initial_state()
+        if int(state["istep"]) == 1:
+            # fresh (non-restart) run: record the t=0 observables even
+            # when the caller built the state (the CLI always does)
             self.postprocess(0, 0.0, state)
         t0 = _time.perf_counter()
         t_rep = t0
