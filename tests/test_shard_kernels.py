@@ -104,6 +104,15 @@ def test_sharded_step_with_kernels_matches_single():
         assert err < 3e-4 * uscale, f"{k}: {err:.2e}"
 
 
+def test_repencil_gate_rejects_untileable_locals():
+    """Local nz below the x-apply lane tile must reject the repencilled
+    projection (it previously produced uninitialised output buffers)."""
+    from x3d2_tpu.parallel.shard_kernels import repencil_supported
+    ns = _solver((64, 128, 128))
+    dmesh = make_device_mesh(2, 2)   # nz_loc = 64 < 128
+    assert not repencil_supported(ns, dmesh)
+
+
 def test_sharded_x_apply_matches_dense():
     from x3d2_tpu.parallel.shard_kernels import (sharded_x_apply_supported,
                                                 wrap_x_ops)

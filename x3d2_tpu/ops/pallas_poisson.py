@@ -372,6 +372,10 @@ def make_pressure_slab(ns, terms=2, interpret=False):
 
         return mid_local
 
+    # expose the solve tables so the sharded repencilled projection can
+    # slice the SAME arrays per shard instead of re-deriving them
+    make_mid_local.tables = tables
+
     # x-stage applies as Pallas kernels too (see make_x_apply): plain
     # variants for pressure_grads, subtract-fused for the correction
     xk = {}
@@ -454,6 +458,11 @@ def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
 
     def fn(f, s=None):
         ny, nz = f.shape[1], f.shape[2]
+        if ny % t1 or nz % t2 or ny < t1 or nz < t2:
+            # a non-dividing extent would silently drop grid iterations
+            # and return uninitialised output blocks
+            raise ValueError(f"x-apply tiling ({t1},{t2}) cannot cover "
+                             f"({ny},{nz})")
         grid = (ny // t1, nz // t2, nk)
         args = (f, s) if sub else (f,)
         specs = ([in_spec, s_spec] if sub else [in_spec]) \

@@ -195,6 +195,20 @@ def repencil_supported(solver, dmesh) -> bool:
     from ..ops.pallas_poisson import slab_pressure_supported
     if not slab_pressure_supported(solver):
         return False
+    # the local x-stage kernels need every device-local (y,z) block to
+    # satisfy their tiling — without this the x-apply grid collapses to
+    # zero iterations and returns uninitialised buffers
+    if not sharded_x_apply_supported(solver, dmesh):
+        return False
+    # every active mesh axis must genuinely shard both VERT and CELL
+    # extents (field_spec leaves non-dividing axes replicated, which the
+    # all-to-all transposes cannot handle)
+    for loc in (DataLoc.VERT, DataLoc.CELL):
+        dims = solver.mesh.dims(loc)
+        spec = tuple(field_spec(dmesh, dims))
+        for axn, ax in (("y", 1), ("z", 2)):
+            if dmesh.shape[axn] > 1 and spec[ax] != axn:
+                return False
     nx = solver.mesh.dims(DataLoc.CELL)[0]
     return nx % dmesh.devices.size == 0
 
@@ -220,13 +234,9 @@ def make_repencilled_pressure(solver, dmesh: DeviceMesh, terms=2,
     mid_local = make_mid_local(nx_loc)
     fspec = P(*field_spec(dmesh, dims))
     po = solver.poisson
-    # full-length per-plane solve tables, sliced per shard at run time
-    k2x_full = jnp.asarray(po.k2_1d[0], jnp.float32)
-    tx2_full = jnp.asarray(np.asarray(po.T_1d[0]) ** 2, jnp.float32)
-    mx_full = np.ones(nxc, np.float32)
-    if po._zero_idx is not None and 0 in po._zero_idx:
-        mx_full[nxc // 2] = 0.0
-    mx_full = jnp.asarray(mx_full)
+    # the SAME per-plane solve tables the single-chip mid kernel uses
+    # (incl. the Nyquist mx mask), sliced per shard at run time
+    k2x_full, tx2_full, mx_full = make_mid_local.tables[3:6]
     pz_dim = dmesh.shape["z"]
 
     def a2a_to_x(f):
