@@ -126,15 +126,17 @@ def _grad_body(q, m2, terms, banded_y, nvy, nvz, nb, bs, w):
     p_z = both_z[:, :nvz]
     dpdz_s = both_z[:, nvz:]
     if banded_y:
-        # factorized: ONE dense Ti_y per field, banded interp/stagder
+        # factorized: ONE dense Ti_y dot covering both fields (they are
+        # already z-concatenated in both_z), then banded interp/stagder;
+        # the shared interp also runs as one two-field banded apply
         giy = m2[nparts:2 * nparts]
         gsy = m2[2 * nparts:3 * nparts]
         tiy = m2[3 * nparts:4 * nparts]
-        G = _mm_left(tiy, p_z, terms)
-        H = _mm_left(tiy, dpdz_s, terms)
-        return (_banded_left(giy, G, nb, bs, w, terms),
-                _banded_left(gsy, G, nb, bs, w, terms),
-                _banded_left(giy, H, nb, bs, w, terms))
+        GH = _mm_left(tiy, both_z, terms)        # (ncy, 2nvz)
+        both_i = _banded_left(giy, GH, nb, bs, w, terms)
+        return (both_i[:, :nvz],
+                _banded_left(gsy, GH[:, :nvz], nb, bs, w, terms),
+                both_i[:, nvz:])
     # gradient y stage on p_z (stacked), plus the interp of dpdz
     gy_is, gy_i = m2[nparts:2 * nparts], m2[2 * nparts:3 * nparts]
     both_y = _mm_left(gy_is, p_z, terms)         # (2nvy, nvz)
