@@ -91,14 +91,16 @@ def main(argv=None):
         dmesh = make_device_mesh(args.mesh[0], args.mesh[1])
         step, state = make_sharded_step(case, dmesh)
         case._step = step
+        fresh = not io_mgr.checkpoint_cfg.restart_from_checkpoint
         restored = io_mgr.handle_restart(state)
         if restored is not state:
             # restart loads host arrays; re-place them on the device mesh
             restored = shard_state(dmesh, restored)
-        case.run(state=restored, io_manager=io_mgr)
+        case.run(state=restored, io_manager=io_mgr, fresh=fresh)
     else:
+        fresh = not io_mgr.checkpoint_cfg.restart_from_checkpoint
         state = io_mgr.handle_restart(case.initial_state())
-        case.run(state=state, io_manager=io_mgr)
+        case.run(state=state, io_manager=io_mgr, fresh=fresh)
 
 
 if __name__ == "__main__":

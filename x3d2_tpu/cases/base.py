@@ -288,14 +288,25 @@ class BaseCase:
 
     # ------------------------------------------------------------------
     def run(self, n_iters: Optional[int] = None, state=None,
-            n_output: Optional[int] = None, io_manager=None):
+            n_output: Optional[int] = None, io_manager=None,
+            fresh: Optional[bool] = None):
         """Time loop (reference base_case run, base_case.f90:181-353):
-        step -> stats accumulation -> monitoring -> checkpoint/snapshot."""
+        step -> stats accumulation -> monitoring -> checkpoint/snapshot.
+
+        `fresh` marks whether `state` is a new initial condition (write
+        the t=0 monitoring row) or a checkpoint restore (skip it, even
+        when the checkpoint was saved before the first step completed).
+        Default: states built here are fresh; caller-provided states
+        fall back to the istep==1 heuristic."""
         n_iters = n_iters or self.params.n_iters
         n_output = n_output or self.params.n_output
         if state is None:
             state = self.initial_state()
-        if int(state["istep"]) == 1:
+            if fresh is None:
+                fresh = True
+        if fresh is None:
+            fresh = int(state["istep"]) == 1
+        if fresh and int(state["istep"]) == 1:
             # fresh (non-restart) run: record the t=0 observables even
             # when the caller built the state (the CLI always does)
             self.postprocess(0, 0.0, state)

@@ -217,20 +217,43 @@ def _scalar_spec(nx):
     return pl.BlockSpec((nx,), lambda i: (0,), memory_space=pltpu.SMEM)
 
 
-def slab_pressure_supported(ns) -> bool:
+def slab_pressure_supported(ns, terms=3) -> bool:
     """MatmulPoisson without stretching; slab dims obeying the Mosaic
     last-two-dims tiling rules (sublane % 8, lane % 128) for both the
-    VERT-sized and CELL-sized y/z extents."""
+    VERT-sized and CELL-sized y/z extents; merged-kernel VMEM footprint
+    within the 64 MB scoped cap (so large-plane meshes fall back to the
+    einsum path instead of failing at Mosaic compile time).
+
+    `terms` defaults to the worst case (bf16x6) so a gate taken without
+    knowing the precision mode stays conservative."""
     from ..common import DataLoc
     from .matmul_poisson import MatmulPoisson
     po = ns.poisson
     if not isinstance(po, MatmulPoisson) or po.stretch_solver is not None:
         return False
-    _, ncy, ncz = po.nc
-    _, nvy, nvz = ns.mesh.dims(DataLoc.VERT)
-    return (ncy % 8 == 0 and nvy % 8 == 0
+    ncx, ncy, ncz = po.nc
+    nvx, nvy, nvz = ns.mesh.dims(DataLoc.VERT)
+    if not (ncy % 8 == 0 and nvy % 8 == 0
             and ncz % 128 == 0 and nvz % 128 == 0
-            and min(ncy, ncz) >= 128)
+            and min(ncy, ncz) >= 128):
+        return False
+    # the x-stage kernels K-block the (ncx|nvx) contraction; an extent
+    # that only divides down to tiny K blocks degenerates into an
+    # n_in-step grid (see make_x_apply) -- require a sane K block
+    if _kblock(ncx) < 8 or _kblock(nvx) < 8:
+        return False
+    # merged mid-kernel VMEM footprint: double-buffered pipeline planes
+    # (3 VERT inputs, q CELL + 3 VERT outputs), resident matrix parts
+    # (dense worst case: m1 = iy,sy,iz,sz; m2 = gz_is,gy_is,gy_i as
+    # bf16 x terms), 3 f32 (ny,nz) solve tables, plus ~4 plane-sized f32
+    # temporaries live in the kernel body.
+    planes = 2 * 4 * (6 * nvy * nvz + ncy * ncz)
+    mats = 2 * terms * (2 * ncy * nvy + 2 * ncz * nvz
+                        + nvz * ncz + 2 * nvy * ncy)
+    tables = 3 * 4 * ncy * ncz
+    scratch = 4 * 4 * max(ncy * ncz, nvy * nvz)
+    vmem_cap = VMEM_LIMIT.vmem_limit_bytes
+    return planes + mats + tables + scratch <= vmem_cap
 
 
 def make_pressure_slab(ns, terms=2, interpret=False):
@@ -440,14 +463,26 @@ def _x_apply_kernel(*refs, terms, sub, nk):
             out_ref[...] = s_ref[...] - out_ref[...]
 
 
+def _kblock(n_in, kb=256):
+    """Largest power-of-two K block <= kb dividing n_in (1 if n_in is
+    odd)."""
+    while n_in % kb:
+        kb //= 2
+    return kb
+
+
 def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
                  interpret=False):
     """Build fn(f[, s]) applying the dense (n_out, n_in) matrix along
     axis 0 of a 3-D field (full-x tiles, grid over y/z and K blocks),
     optionally fused with the correction `s - M @ f`."""
     n_out, n_in = M64.shape
-    while n_in % kb:
-        kb //= 2
+    kb = _kblock(n_in, kb)
+    if kb < 8:
+        # an n_in-step K grid is pathological (per-step DMA overhead
+        # dwarfs the dot); callers gate on this and use the einsum apply
+        raise ValueError(f"x-apply cannot K-block n_in={n_in} "
+                         f"(largest dividing block {kb} < 8)")
     nk = n_in // kb
     parts = [jnp.asarray(p) for p in split_hi_lo(M64, terms)]
     in_spec = pl.BlockSpec((kb, t1, t2), lambda i, j, k: (k, i, j),

@@ -173,13 +173,16 @@ class PallasXApplyOp:
 
 def sharded_x_apply_supported(solver, dmesh, t1=8, t2=128) -> bool:
     """Every device-local (y, z) block must satisfy the kernel tiling
-    (t1 | ny_loc, t2 | nz_loc) for both VERT and CELL extents."""
+    (t1 | ny_loc, t2 | nz_loc) for both VERT and CELL extents, and the
+    x contraction must admit a sane K block (make_x_apply raises below
+    8)."""
+    from ..ops.pallas_poisson import _kblock
     for loc in (DataLoc.VERT, DataLoc.CELL):
         dims = solver.mesh.dims(loc)
         spec = tuple(field_spec(dmesh, dims))
         ny_loc = dims[1] // (dmesh.shape[spec[1]] if spec[1] else 1)
         nz_loc = dims[2] // (dmesh.shape[spec[2]] if spec[2] else 1)
-        if ny_loc % t1 or nz_loc % t2:
+        if ny_loc % t1 or nz_loc % t2 or _kblock(dims[0]) < 8:
             return False
     return True
 
