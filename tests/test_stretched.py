@@ -27,7 +27,7 @@ def make(stretching, beta=0.259065151):
     return mesh, NavierStokes.build(mesh, nu=1.0, dtype=jnp.float64)
 
 
-@pytest.mark.parametrize("stretching", ["top-bottom", "centred"])
+@pytest.mark.parametrize("stretching", ["top-bottom", "centred", "bottom"])
 def test_stretched_poisson_roundtrip(stretching):
     mesh, ns = make(stretching)
     X, Y, Z = mesh.coord_grids(DataLoc.CELL)
@@ -43,14 +43,59 @@ def test_stretched_poisson_roundtrip(stretching):
     assert np.max(np.abs(err)) < 1e-10, np.max(np.abs(err))
 
 
-def test_bottom_stretching_uses_cg():
-    """'bottom' stretching routes to the CG Poisson solver (the
-    reference's spectral 'bottom' path is untested upstream and our
-    transcription fails the roundtrip; CG solves it to 3e-12) and the
-    resulting solver passes the div(grad) roundtrip."""
-    from x3d2_tpu.ops.cg_poisson import CGPoisson
-    with pytest.warns(UserWarning, match="bottom"):
+def test_bottom_first_row_correction():
+    """The 'bottom' spectral path only satisfies the roundtrip with the
+    corrected first-row assembly (the upstream branch at
+    poisson_fft.f90:360-387 drops the aliased k=-1/k=-2 couplings; see
+    tools/adjudicate_bottom.py). Halving A[0,1], A[0,2] back to the
+    literal upstream values must break the roundtrip by ~1e-4-scale
+    errors — this pins the deviation as load-bearing."""
+    from x3d2_tpu.ops import stretched_poisson as sp
+    orig = sp.build_stretch_matrices
+
+    def upstream(*args, **kw):
+        a_sets, offsets, inc = orig(*args, **kw)
+        if inc == 1:  # 'bottom': undo the first-row aliasing correction
+            keep = (a_sets[0][0, 0, 0, 2] == 1.0)
+            a_sets[0][:, 0, :, 3] /= 2.0
+            a_sets[0][:, 0, :, 4] /= 2.0
+            if keep:
+                a_sets[0][0, 0, 0, 3] = 0.0
+                a_sets[0][0, 0, 0, 4] = 0.0
+        return a_sets, offsets, inc
+
+    sp.build_stretch_matrices = upstream
+    try:
+        import x3d2_tpu.ops.matmul_poisson as mp
         mesh, ns = make("bottom")
+    finally:
+        sp.build_stretch_matrices = orig
+    X, Y, Z = mesh.coord_grids(DataLoc.CELL)
+    f = np.cos(2 * np.pi * X / 4.0) * np.cos(np.pi * Y / 2.0) \
+        * np.cos(2 * np.pi * Z / 2.0)
+    f = np.broadcast_to(f, mesh.dims(DataLoc.CELL)).copy()
+    f -= f.mean()
+    p = ns.poisson(jnp.asarray(f))
+    lap = np.asarray(ns.divergence_v2p(*ns.gradient_p2v(p)))
+    err = lap - f
+    err -= err.mean()
+    assert np.max(np.abs(err)) > 1e-6, (
+        "literal upstream assembly unexpectedly passes the roundtrip")
+
+
+def test_bottom_cg_still_available():
+    """poisson_method='cg' (preconditioned BiCGStab) remains usable for
+    'bottom' stretching (reference's CG type is a stub, solver.f90:
+    680-691; ours is a real solver)."""
+    from x3d2_tpu.ops.cg_poisson import CGPoisson
+    mesh = Mesh((16, 17, 16), (4.0, 2.0, 2.0),
+                ((BC.PERIODIC, BC.PERIODIC),
+                 (BC.DIRICHLET, BC.DIRICHLET),
+                 (BC.PERIODIC, BC.PERIODIC)),
+                stretching=("uniform", "bottom", "uniform"),
+                beta=(1.0, 0.259065151, 1.0))
+    ns = NavierStokes.build(mesh, nu=1.0, dtype=jnp.float64,
+                            poisson_method="cg")
     assert isinstance(ns.poisson, CGPoisson)
     X, Y, Z = mesh.coord_grids(DataLoc.CELL)
     f = np.cos(2 * np.pi * X / 4.0) * np.cos(np.pi * Y / 2.0) \
@@ -74,11 +119,10 @@ def test_channel_bottom_end_to_end():
                 stretching=("uniform", "bottom", "uniform"),
                 beta=(1.0, 0.259065151, 1.0))
     params = SolverParams(Re=4200.0, time_intg="RK3", dt=1e-3)
-    with pytest.warns(UserWarning, match="bottom"):
-        case = ChannelCase(mesh, params, dtype=jnp.float64,
-                           monitor_path=None, verbose=False,
-                           case_cfg=ChannelConfig(
-                               init_noise=(0.01, 0.01, 0.01)))
+    case = ChannelCase(mesh, params, dtype=jnp.float64,
+                       monitor_path=None, verbose=False,
+                       case_cfg=ChannelConfig(
+                           init_noise=(0.01, 0.01, 0.01)))
     state = case.run(n_iters=3, state=case.initial_state(), n_output=10**9)
     assert np.isfinite(np.asarray(state["u"])).all()
 

@@ -196,16 +196,13 @@ class SpectralPoisson:
         # stretched-y: pentadiagonal spectral solve replaces the waves
         # division (stretching_matrix, poisson_fft.f90:275-652).
         # 'centred'/'top-bottom' are validated to ~1e-13 against the
-        # div(grad) roundtrip; 'bottom' is rejected -- the reference's own
-        # 'bottom' spectral path has no test coverage and no example, and
-        # its analytic matrices do not satisfy the discrete roundtrip.
+        # div(grad) roundtrip; 'bottom' uses the corrected first-row
+        # assembly (see stretched_poisson.build_stretch_matrices and
+        # tools/adjudicate_bottom.py -- the upstream 'bottom' branch
+        # drops the aliased first-row couplings).
         self.stretch_solver = None
         if self.stretched_y:
             g = mesh.geo[1]
-            if g.stretching == "bottom":
-                raise NotImplementedError(
-                    "'bottom' y-stretching is not supported by the FFT "
-                    "Poisson solver (untested upstream path)")
             from .stretched_poisson import (StretchedYSolver,
                                             build_stretch_matrices)
             a_sets, offsets, inc = build_stretch_matrices(

@@ -137,10 +137,6 @@ class MatmulPoisson:
         self.stretch_solver = None
         if self.stretched_y:
             g = mesh.geo[1]
-            if g.stretching == "bottom":
-                raise NotImplementedError(
-                    "'bottom' y-stretching is not supported (untested "
-                    "upstream path)")
             from .stretched_poisson import (StretchedYSolver,
                                             build_stretch_matrices)
             a_sets, offsets, inc = build_stretch_matrices(

@@ -101,6 +101,18 @@ def build_stretch_matrices(nx_spec, ny, nz_spec, trans_x, trans_y, trans_z,
             # diag-2 (:405-417), rows 2..
             if j >= 2:
                 A[:, j, :, 0] = -a1 * a1 * km_grid(iy - 1) * km_grid(iy - 2)
+        # DEVIATION from the reference (upstream bug, adjudicated in
+        # tools/adjudicate_bottom.py): the first row's +1/+2 couplings
+        # must include the aliased k=-1/k=-2 metric contributions (mode
+        # -k == mode +k in the cosine basis), i.e. exactly 2x the
+        # one-sided terms of poisson_fft.f90:360-387. The parity-split
+        # branches carry these factors (c1_od = 2*a0*a1 at j1==1,
+        # :506-510); the 'bottom' branch upstream does not, which makes
+        # its operator differ from the discrete div(grad) by exactly a
+        # factor 1/2 in A[0,1], A[0,2] (measured; all other entries
+        # match at 1e-15).
+        A[:, 0, :, 3] *= 2.0
+        A[:, 0, :, 4] *= 2.0
         # singular-mode tweak (:419-422): global first mode only
         A[0, 0, 0, 2] = 1.0
         A[0, 0, 0, 3] = 0.0

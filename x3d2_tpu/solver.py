@@ -58,18 +58,14 @@ class NavierStokes:
         from .ops.dirops import build_all_ops
         schemes = schemes or {}
         ops = build_all_ops(mesh, dtype=dtype, **schemes)
-        if (poisson_method in ("matmul", "fft") and mesh.stretched[1]
-                and mesh.geo[1].stretching == "bottom"):
-            # 'bottom' one-sided stretching: the reference codes a spectral
-            # pentadiagonal path for it (poisson_fft.f90:320-422) but ships
-            # no test or example; our transcription fails the div(grad)
-            # roundtrip (4e-2), while the preconditioned BiCGStab solves it
-            # to 3e-12 — so CG is the official 'bottom' path here.
-            import warnings
-            warnings.warn("'bottom' y-stretching: using the CG Poisson "
-                          "solver (spectral path reserved for "
-                          "centred/top-bottom)")
-            poisson_method = "cg"
+        # 'bottom' one-sided stretching runs the SPECTRAL path like the
+        # symmetric stretchings. The reference's own assembly
+        # (poisson_fft.f90:320-422, untested upstream) drops the aliased
+        # k=-1/k=-2 metric couplings in the first spectral row; with that
+        # fixed (exact factor 2 on A[0,1], A[0,2] — adjudicated
+        # operator-by-operator in tools/adjudicate_bottom.py) the path
+        # passes the div(grad) roundtrip at 1e-12. The BiCGStab solver
+        # (poisson_method='cg') remains available for any stretching.
         if poisson_method == "matmul":
             from .ops.matmul_poisson import MatmulPoisson
             poisson = MatmulPoisson(mesh, ops, dtype=dtype)
