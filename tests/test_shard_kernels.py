@@ -76,10 +76,26 @@ def test_repencilled_pressure_matches_single():
         assert err < 3e-4 * scale, f"{name}: {err:.2e} vs {scale:.2e}"
 
 
+def _collective_census(hlo_text):
+    """Count XLA collectives in a compiled-module dump (HLO op names,
+    incl. the async -start variants)."""
+    import re
+    census = {}
+    for op in ("all-gather", "all-reduce", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        census[op] = len(re.findall(rf"\b{op}(?:-start)?\(", hlo_text))
+    return census
+
+
 def test_sharded_step_with_kernels_matches_single():
     """One full sharded AB3 step at a size where the repencilled
     projection and the per-shard x-apply kernels are both active,
-    against the single-device step."""
+    against the single-device step — plus a collective-regression census
+    on the compiled HLO: the production sharded step must communicate
+    through ppermute halos and repencilling all-to-alls only (the
+    explicit-comm discipline of the reference's neighbour exchanges,
+    omp/sendrecv.f90:10-36); an all-gather or reduce-scatter appearing
+    means GSPMD regressed to re-replicating a field."""
     from x3d2_tpu.cases import SolverParams, TGVCase
     from x3d2_tpu.parallel.topo import make_sharded_step
 
@@ -97,7 +113,13 @@ def test_sharded_step_with_kernels_matches_single():
     dmesh = make_device_mesh(2, 2)
     step, sb = make_sharded_step(cb, dmesh)
     assert getattr(cb.solver, "_repencil_pressure", None) is None  # copy
-    sb = step(sb)
+    compiled = step.lower(sb).compile()
+    census = _collective_census(compiled.as_text())
+    assert census["collective-permute"] > 0, census   # ppermute halos
+    assert census["all-to-all"] > 0, census           # repencilling
+    assert census["all-gather"] == 0, census
+    assert census["reduce-scatter"] == 0, census
+    sb = compiled(sb)
     uscale = float(jnp.max(jnp.abs(sa["u"])))  # w starts at 0 in TGV
     for k in ("u", "v", "w"):
         err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
@@ -111,6 +133,24 @@ def test_repencil_gate_rejects_untileable_locals():
     ns = _solver((64, 128, 128))
     dmesh = make_device_mesh(2, 2)   # nz_loc = 64 < 128
     assert not repencil_supported(ns, dmesh)
+
+
+@pytest.mark.skipif("X3D2_AOT" not in __import__("os").environ,
+                    reason="slow TPU-compiler invocation; set X3D2_AOT=1")
+def test_aot_tpu_topology_full_step():
+    """AOT-compile the full sharded step for a deviceless v5e 2x4
+    topology (tools/aot_tpu_check.py): catches Mosaic/SPMD lowering
+    errors of the halo-ext kernels without multi-chip hardware, and
+    enforces the collective census against the REAL TPU compiler.
+    Run in a subprocess: the check needs x64 off and its own jax init."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run([sys.executable, "tools/aot_tpu_check.py"],
+                       cwd=root, capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
 
 
 def test_sharded_x_apply_matches_dense():

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""AOT-compile the FULL sharded production step for a mocked TPU slice.
+
+The sharded Pallas kernel stack (halo-ext v3 transeq, per-shard x-apply,
+repencilled slab projection) can only ever *execute* on multi-chip
+hardware, but its Mosaic + GSPMD lowering is checked here without any:
+jax.experimental.topologies provides a deviceless v5e topology, and
+make_sharded_step(aot=True) lowers + compiles the full jitted step
+against it (the reference's analogue is oversubscribed-rank MPI testing,
+SURVEY.md §4; this additionally exercises the real TPU compiler).
+
+Prints a collective census and PASS/FAIL. Usage:
+
+    python tools/aot_tpu_check.py [topology] [nx ny nz]   # v5e:2x4 default
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["X3D2_PALLAS"] = "1"
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+from jax.experimental import topologies
+
+topo_name = sys.argv[1] if len(sys.argv) > 1 else "v5e:2x4"
+dims = (tuple(int(a) for a in sys.argv[2:5]) if len(sys.argv) > 4
+        else (128, 256, 512))
+
+topo = topologies.get_topology_desc(topology_name=topo_name, platform="tpu")
+devs = list(topo.devices)
+ny = int(np.sqrt(len(devs)))
+while len(devs) % ny:
+    ny -= 1
+nz = len(devs) // ny
+
+from x3d2_tpu.common import BC
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.cases import SolverParams, TGVCase
+from x3d2_tpu.parallel.topo import make_device_mesh, make_sharded_step
+from x3d2_tpu.parallel.shard_kernels import (repencil_supported,
+                                             sharded_transeq_v3_supported)
+
+mesh = Mesh(dims, (2 * np.pi,) * 3, ((BC.PERIODIC, BC.PERIODIC),) * 3)
+params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3)
+case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
+               verbose=False, keep_pressure=False)
+dmesh = make_device_mesh(ny, nz, devs)
+
+assert sharded_transeq_v3_supported(case.solver, dmesh), \
+    "v3 transeq kernels inactive at this size -- pick a kernel-active grid"
+assert repencil_supported(case.solver, dmesh), \
+    "repencilled projection inactive at this size"
+
+step, sds = make_sharded_step(case, dmesh, aot=True)
+print(f"lowering full sharded step: {dims} grid on {topo_name} "
+      f"({ny}x{nz} mesh) ...", flush=True)
+compiled = step.lower(sds).compile()
+txt = compiled.as_text()
+
+census = {op: len(re.findall(rf"\b{op}(?:-start)?\(", txt))
+          for op in ("all-gather", "all-reduce", "all-to-all",
+                     "collective-permute", "reduce-scatter")}
+n_mosaic = len(re.findall(r'custom_call_target="tpu_custom_call"', txt))
+print(f"collective census: {census}; mosaic kernels: {n_mosaic}")
+
+ok = (census["collective-permute"] > 0 and census["all-to-all"] > 0
+      and census["all-gather"] == 0 and census["reduce-scatter"] == 0
+      and n_mosaic > 0)
+print(("PASS" if ok else "FAIL")
+      + ": full sharded step AOT-compiled for a deviceless TPU topology")
+sys.exit(0 if ok else 1)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Turbulent-channel physics validation (reference production config).
+
+Runs the reference channel configuration
+(/root/reference/examples/channel/input.x3d: 128x65x64, Re=4200 with
+U_bulk held at 2/3 -> Re_b = 2800, stretched 'top-bottom' y, RK3,
+dt=5e-3) on the TPU f32 production path, accumulating mean profiles and
+Reynolds stresses over the statistically-stationary second half, and
+checks them against the canonical Re_tau ~= 180 DNS data (Kim, Moin &
+Moser 1987; Re_b = 2800 <-> Re_tau ~= 178):
+
+  - bulk-flow constraint: mean(u) pinned at 2/3 every substage
+    (case/channel.f90:59-78)
+  - Re_tau from the wall-shear of the mean profile (target ~180)
+  - centreline-to-bulk ratio U_c/U_b ~= 1.16
+  - u'rms peak ~= 2.7 u_tau near y+ ~= 15
+
+Writes validation/channel_re4200.csv (profiles) and prints the summary.
+Usage: python tools/validate_channel.py [n_iters] [sample]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+sample = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+from x3d2_tpu.common import BC, DataLoc
+from x3d2_tpu.mesh import Mesh
+from x3d2_tpu.cases import ChannelCase, SolverParams
+from x3d2_tpu.config import ChannelConfig
+
+mesh = Mesh((128, 65, 64), (4.0, 2.0, 2.0),
+            ((BC.PERIODIC, BC.PERIODIC),
+             (BC.DIRICHLET, BC.DIRICHLET),
+             (BC.PERIODIC, BC.PERIODIC)),
+            stretching=("uniform", "top-bottom", "uniform"),
+            beta=(1.0, 0.259065151, 1.0))
+params = SolverParams(Re=4200.0, time_intg="RK3", dt=5e-3)
+case = ChannelCase(mesh, params, dtype=jnp.float32, monitor_path=None,
+                   verbose=False,
+                   case_cfg=ChannelConfig(init_noise=(0.125,) * 3,
+                                          inlet_noise=(0.0,) * 3))
+nu = 1.0 / 4200.0
+dt = params.dt
+
+
+@jax.jit
+def profiles(state):
+    u, v, w = state["u"], state["v"], state["w"]
+    ax = (0, 2)
+    um, vm, wm = u.mean(ax), v.mean(ax), w.mean(ax)
+    return jnp.stack([
+        um, vm, wm,
+        (u * u).mean(ax), (v * v).mean(ax), (w * w).mean(ax),
+        (u * v).mean(ax), jnp.full_like(um, u.mean()),
+    ])
+
+
+state = case.initial_state()
+acc = None
+nacc = 0
+t0 = time.perf_counter()
+warmup = n_iters // 2
+ub_series = []
+for it in range(1, n_iters + 1):
+    state = case._step(state)
+    if it % sample == 0:
+        p = np.asarray(profiles(state), np.float64)
+        ub_series.append((it * dt, p[7, 0]))
+        if it > warmup:
+            acc = p if acc is None else acc + p
+            nacc += 1
+        if it % (sample * 200) == 0:
+            el = time.perf_counter() - t0
+            print(f"it={it}/{n_iters} t={it * dt:.1f} ub={p[7, 0]:.6f} "
+                  f"[{el:.0f}s, {el / it * 1e3:.1f} ms/step]", flush=True)
+
+P = acc / nacc
+y = np.asarray(mesh.geo[1].vert_coords, np.float64)
+U = P[0]
+uu = P[3] - P[0] ** 2
+vv = P[4] - P[1] ** 2
+ww = P[5] - P[2] ** 2
+uv = P[6] - P[0] * P[1]
+
+# wall shear from both walls (one-sided difference on the stretched grid)
+dUdy_b = (U[1] - U[0]) / (y[1] - y[0])
+dUdy_t = (U[-2] - U[-1]) / (y[-1] - y[-2])
+u_tau = float(np.sqrt(nu * 0.5 * (abs(dUdy_b) + abs(dUdy_t))))
+re_tau = u_tau / nu  # half-height h = 1
+ub = float(np.trapezoid(U, y) / 2.0)
+uc = float(U[len(U) // 2])
+
+os.makedirs("validation", exist_ok=True)
+out = "validation/channel_re4200.csv"
+with open(out, "w") as fh:
+    fh.write("y,yplus,Uplus,urms_plus,vrms_plus,wrms_plus,uv_plus\n")
+    for j in range(len(y)):
+        yw = min(y[j], 2.0 - y[j])
+        fh.write(f"{y[j]:.6f},{yw * u_tau / nu:.4f},{U[j] / u_tau:.5f},"
+                 f"{np.sqrt(max(uu[j], 0)) / u_tau:.5f},"
+                 f"{np.sqrt(max(vv[j], 0)) / u_tau:.5f},"
+                 f"{np.sqrt(max(ww[j], 0)) / u_tau:.5f},"
+                 f"{uv[j] / u_tau**2:.5f}\n")
+with open("validation/channel_re4200_bulk.csv", "w") as fh:
+    fh.write("t,ub\n")
+    for t, ubv in ub_series:
+        fh.write(f"{t:.3f},{ubv:.8f}\n")
+
+urms_peak = float(np.sqrt(max(uu.max(), 0)) / u_tau)
+print(f"\nwrote {out}")
+print(f"bulk constraint: mean(u) = {P[7, 0]:.6f} (target 2/3 = 0.6667)")
+print(f"Re_tau = {re_tau:.1f} (KMM Re_b=2800 target ~178)")
+print(f"U_c/U_b = {uc / ub:.3f} (KMM ~1.16)")
+print(f"u'rms peak = {urms_peak:.2f} u_tau (KMM ~2.65)")
+print(f"wall: {time.perf_counter() - t0:.0f}s for {n_iters} steps")

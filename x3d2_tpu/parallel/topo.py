@@ -125,8 +125,15 @@ def make_halo_solver(solver, dmesh: DeviceMesh, w=None):
 
 
 def make_sharded_step(case, dmesh: DeviceMesh, state=None,
-                      pin_shardings=None, use_halo=True):
+                      pin_shardings=None, use_halo=True, aot=False):
     """jit the case step sharded over the device mesh.
+
+    With aot=True the device mesh may be built from a deviceless
+    TopologyDescription (jax.experimental.topologies — e.g. a mocked
+    v5e 2x4 slice): no arrays are placed and the returned "state" is a
+    ShapeDtypeStruct pytree; call step.lower(state).compile() to
+    AOT-compile the full sharded program (incl. Mosaic lowering of the
+    halo-ext kernels) without any attached multi-chip hardware.
 
     Compact operators along sharded axes run as explicit ppermute halo
     exchanges (make_halo_solver) when the shards are wide enough for the
@@ -198,4 +205,10 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                        donate_argnums=0)
     else:
         step = jax.jit(case.step_fn, donate_argnums=0)
+    if aot:
+        # deviceless: describe the state instead of placing it
+        sds = jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+            state, sh)
+        return step, sds
     return step, jax.device_put(state, sh)
