@@ -71,6 +71,7 @@ def run_curve(dtype, compensated, device=None):
     nsteps = int(round(t_end / dt))
     steps_out, kes = [0], [ke_host_f64(state)]
     t0 = time.perf_counter()
+    partial = os.environ.get("KE_PARTIAL")  # incremental curve dump
     for it in range(1, nsteps + 1):
         state = step(state)
         if it % SAMPLE == 0:
@@ -81,6 +82,11 @@ def run_curve(dtype, compensated, device=None):
                 print(f"  step {it}/{nsteps} ke={kes[-1]:.10f} "
                       f"[{el:.0f}s, {el / it * 1e3:.0f} ms/step]",
                       flush=True)
+                if partial:
+                    tmp = partial + ".tmp.npz"
+                    np.savez(tmp, steps=np.asarray(steps_out),
+                             ke=np.asarray(kes))
+                    os.replace(tmp, partial)
     return np.asarray(steps_out), np.asarray(kes)
 
 

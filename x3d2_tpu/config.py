@@ -144,6 +144,10 @@ class CheckpointConfig:
     output_stride: tuple = (1, 1, 1)
     snapshot_sp: bool = False
     output_fields: tuple = ()
+    # per-shard checkpoint files (io/sharded.py): None = auto (sharded
+    # whenever >1 process, so no global field gathers onto host 0 — the
+    # reference's per-rank-block rationale, checkpoint_manager.f90:223)
+    sharded_io: bool | None = None
 
     def has_output_field(self, name: str) -> bool:
         return name in tuple(self.output_fields)

@@ -37,7 +37,31 @@ class CheckpointManager:
         f = self.config.checkpoint_freq
         return f > 0 and timestep % f == 0
 
+    def _sharded_io(self) -> bool:
+        """Per-shard files (io/sharded.py) when configured, defaulting to
+        on for multi-process runs: gathering global fields onto host 0
+        stops fitting one grid-doubling after it starts hurting (the
+        reference writes per-rank blocks for the same reason,
+        checkpoint_manager.f90:223-283)."""
+        cfg = getattr(self.config, "sharded_io", None)
+        if cfg is not None:
+            return bool(cfg)
+        import jax
+        return jax.process_count() > 1
+
     def write(self, state, timestep, time, dt, stats=None, extra=None):
+        if self._sharded_io():
+            from .sharded import cleanup_sharded, write_sharded
+            from ..parallel.multihost import is_primary
+            from . import native
+            path = write_sharded(self.config.checkpoint_prefix, timestep,
+                                 state, time, dt, stats, extra)
+            if self.verbose and is_primary():
+                print(f"Checkpoint written (sharded): {path}")
+            if not self.config.keep_checkpoint and is_primary():
+                native.async_flush()
+                cleanup_sharded(self.config.checkpoint_prefix, path)
+            return path
         # gather_global is collective (all processes participate) and a
         # plain np.asarray single-process; only process 0 touches the FS
         from ..parallel.multihost import gather_global, is_primary
@@ -93,17 +117,27 @@ class CheckpointManager:
     def latest(self):
         from . import native
         native.async_flush()  # ensure queued checkpoints are durable
-        files = sorted(glob.glob(f"{self.config.checkpoint_prefix}_*.npz"))
+        files = sorted(f for f in
+                       glob.glob(f"{self.config.checkpoint_prefix}_*.npz")
+                       if ".shards" not in f)
         return files[-1] if files else None
 
     def restore(self, state, path=None, dtype=None):
         """Load a checkpoint into an existing state pytree template.
-        Returns (state, timestep, time, dt, stats)."""
+        Returns (state, timestep, time, dt, stats). Dispatches on the
+        on-disk format: per-shard manifests restore shard-locally
+        (io/sharded.py), single-file checkpoints load globally."""
         from . import native
         native.async_flush()
         path = path or self.config.restart_file or self.latest()
         if not path or not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint found at {path!r}")
+        if path.endswith(".manifest.npz"):
+            from .sharded import restore_sharded
+            out = restore_sharded(path, state, dtype=dtype)
+            if self.verbose:
+                print(f"Restart from {path} at iteration {out[1]}")
+            return out
         import jax.numpy as jnp
         z = np.load(path)
         new = dict(state)
