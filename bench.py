@@ -10,12 +10,17 @@ A100). The reference publishes no absolute numbers; vs_baseline
 normalises against a 10 ms/step A100-class estimate at 512^3 (scaled by
 DOF for other sizes), i.e. >1.0 means faster than that estimate.
 
-Alongside wall-clock, the line reports a hardware roofline figure:
-achieved useful f32-equivalent TFLOP/s from the step's algorithmic flop
-count, and utilisation relative to the v5e bf16x3 ceiling (197 TF/s
-bf16 / 3 passes ~= 65.8 TF/s of f32-grade matmul), so progress is
-measurable against the chip rather than the A100 guess (VERDICT.md
-round-1 item)."""
+Alongside wall-clock, the line reports:
+  - tflops_executed: flops the banded-matmul formulation actually issues
+    (MXU-utilisation view; window matmuls do redundant work vs a stencil)
+  - tflops_alg_min: the algorithmic-minimum model — ~25 flops/point per
+    compact-operator apply (9-pt RHS stencil + tridiagonal solve, the
+    counting behind the reference's 16 B-eq/DOF traffic model,
+    /root/reference/tests/performance/perf_cuda_transeq.f90:16)
+  - per-phase times (transeq / pressure / glue) measured as chained
+    fori_loop programs (CLAUDE.md timing methodology), so round-over-
+    round changes are attributable. BENCH_PHASES=0 skips them.
+"""
 
 import json
 import os
@@ -28,8 +33,8 @@ import jax
 import jax.numpy as jnp
 
 
-def step_flops(n, case):
-    """Algorithmic useful flops per step (matmul terms only)."""
+def executed_flops(n, case):
+    """Flops the implementation issues per step (matmul terms only)."""
     ns = case.solver
     if getattr(ns, "_transeq_v3", None) is not None:
         # banded windows: 96 on axes 0/1, 256 on the lane axis
@@ -41,9 +46,35 @@ def step_flops(n, case):
     return transeq + pressure
 
 
+def alg_min_flops(n, case):
+    """Algorithmic-minimum model: 25 flops/point per compact apply
+    (stencil + solve), 9 transeq + 16|19 projection applies, plus the
+    skew-symmetric combine (~27/pt) and AB update (~8/pt)."""
+    napply = 9 + (16 if not case.keep_pressure else 19)
+    return (25 * napply + 27 + 8) * n**3
+
+
+def chained_ms(f, args, iters):
+    """Chained fori_loop timing with a forced scalar readback (host
+    loops through the axon relay both add eager overhead and can report
+    bogus times; see tools/prof512.py)."""
+    def looped(args):
+        out = jax.lax.fori_loop(0, iters, lambda i, c: f(*c), args)
+        leaf = next(x for x in jax.tree_util.tree_leaves(out)
+                    if getattr(x, "ndim", 0) == 3)
+        return jnp.sum(leaf[0])
+
+    g = jax.jit(looped)
+    float(g(args))  # compile + warm
+    t0 = time.perf_counter()
+    float(g(args))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "512"))
     n_iters = int(os.environ.get("BENCH_ITERS", "30"))
+    phases = os.environ.get("BENCH_PHASES", "1") != "0"
 
     # persistent compilation cache: repeat runs skip the (remote) compile
     try:
@@ -80,16 +111,36 @@ def main():
     # A100-class reference estimate: ~10 ms/step at 512^3 (memory-bound
     # model from the reference's 16B-eq/DOF transeq traffic, BASELINE.md)
     target_ms = 10.0 * (n / 512) ** 3
-    tflops = step_flops(n, case) / (ms_per_step * 1e-3) * 1e-12
+    exec_tf = executed_flops(n, case) / (ms_per_step * 1e-3) * 1e-12
+    alg_tf = alg_min_flops(n, case) / (ms_per_step * 1e-3) * 1e-12
     bf16x3_ceiling = 197.0 / 3
     result = {
         "metric": f"TGV {n}^3 f32 AB3 wall-clock per step (1 chip)",
         "value": round(ms_per_step, 3),
         "unit": "ms/step",
         "vs_baseline": round(target_ms / ms_per_step, 3),
-        "tflops": round(tflops, 1),
-        "mxu_util_vs_bf16x3_peak": round(tflops / bf16x3_ceiling, 3),
+        "tflops": round(exec_tf, 1),
+        "tflops_alg_min": round(alg_tf, 1),
+        "mxu_util_vs_bf16x3_peak": round(exec_tf / bf16x3_ceiling, 3),
     }
+
+    if phases:
+        try:
+            ns = case.solver
+            u, v, w = state["u"], state["v"], state["w"]
+            it = max(10, n_iters // 2)
+            ms_tr = chained_ms(lambda a, b, c: ns.transeq(a, b, c),
+                               (u, v, w), it)
+            ms_pr = chained_ms(
+                lambda a, b, c: ns.pressure_correction(
+                    a, b, c, keep_pressure=False)[:3],
+                (u, v, w), it)
+            result["ms_transeq"] = round(ms_tr, 2)
+            result["ms_pressure"] = round(ms_pr, 2)
+            result["ms_glue"] = round(ms_per_step - ms_tr - ms_pr, 2)
+        except Exception as e:  # phases are informational only
+            result["phases_error"] = f"{type(e).__name__}: {e}"[:120]
+
     print(json.dumps(result))
 
 

@@ -79,32 +79,163 @@ def _banded_left(mat_refs, x, nb, bs, w, terms):
     return jnp.concatenate(outs, axis=0)
 
 
-def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w):
+def parity_split(n):
+    """Half-flop split of the real-DFT transform T = real_dft_matrix(n)
+    by OUTPUT parity: even rows have period-n/2 columns and odd rows are
+    antiperiodic (cos(2pi m (j+h)/n) = +/- cos(2pi m j/n) for even/odd
+    m), so with h = n/2, Te = T[0::2, :h], To = T[1::2, :h]:
+
+        T x  = interleave(Te (x1 + x2), To (x1 - x2)),  x1, x2 = halves
+
+    — one radix-2 FFT level in matrix form: two half-size dense dots
+    (half the MXU flops, K dims stay full tiles) + adds + an interleave
+    relayout. No reversals and no twiddles (those appear only in deeper
+    levels / the input-parity formulation; Mosaic has no rev lowering).
+    The inverse follows from row orthogonality (Ti = T^T diag(w)):
+
+        Ti y = concat(a + b, a - b),  a = Te^T z_e, b = To^T z_o,
+        z = w (.) y interleaved-split.
+
+    Returns (Te, To, w) float64; raises if the symmetry check fails."""
+    from .matmul_poisson import real_dft_matrix
+    h = n // 2
+    T = real_dft_matrix(n)
+    if (np.abs(T[0::2, :h] - T[0::2, h:]).max() > 1e-9
+            or np.abs(T[1::2, :h] + T[1::2, h:]).max() > 1e-9):
+        raise ValueError("transform lacks the parity column symmetry")
+    TTt = T @ T.T
+    if np.abs(TTt - np.diag(np.diag(TTt))).max() > 1e-9 * n:
+        raise ValueError("transform rows not orthogonal")
+    return T[0::2, :h].copy(), T[1::2, :h].copy(), 1.0 / np.diag(TTt)
+
+
+def _bfly_fwd(te_parts, to_parts, x, terms):
+    """Parity-split forward transform along axis 0 of a 2-D slab.
+
+    Output rows are in BLOCK-PARITY order [even modes; odd modes] — the
+    natural interleave is a sublane-granularity shuffle that costs more
+    than the saved MXU time (measured 24.0 vs 21.1 ms on the mid
+    kernel), so the permuted basis is kept and the mode-indexed solve
+    tables are permuted host-side instead."""
+    n, m = x.shape
+    h = n // 2
+    dn = (((1,), (0,)), ((), ()))
+    Xe = _dot_split(tuple(r[...] for r in te_parts),
+                    _split(x[:h] + x[h:], terms), dn)
+    Xo = _dot_split(tuple(r[...] for r in to_parts),
+                    _split(x[:h] - x[h:], terms), dn)
+    return jnp.concatenate([Xe, Xo], axis=0)
+
+
+def _bfly_inv(tet_parts, tot_parts, w_ref, y, terms):
+    """Parity-split inverse transform along axis 0 of a 2-D slab; input
+    rows in the block-parity order of _bfly_fwd (w_ref pre-permuted)."""
+    n, m = y.shape
+    h = n // 2
+    z = w_ref[...] * y
+    dn = (((1,), (0,)), ((), ()))
+    a = _dot_split(tuple(r[...] for r in tet_parts),
+                   _split(z[:h], terms), dn)
+    b = _dot_split(tuple(r[...] for r in tot_parts),
+                   _split(z[h:], terms), dn)
+    return jnp.concatenate([a + b, a - b], axis=0)
+
+
+def parity_split_folded(M, axis):
+    """Parity split of a transform-FOLDED matrix on a periodic axis.
+
+    axis=0 (forward-folded, M = T @ Op, Op circulant): rolling a column
+    by h multiplies even-frequency rows by +1 and odd rows by -1 (the
+    circulant Op preserves the transform's column symmetry), so with
+    h = n_in/2:   M x = blockcat(Me (x1+x2), Mo (x1-x2)),
+    Me = M[0::2, :h], Mo = M[1::2, :h]  — output modes in block-parity
+    order, half the flops.
+
+    axis=1 (inverse-folded, M = Op @ Ti): even-mode COLUMNS are
+    h-periodic in the output index, odd-mode columns antiperiodic, so
+    M z = [a + b; a - b],  a = Me z_e, b = Mo z_o with Me = M[:h, 0::2],
+    Mo = M[:h, 1::2] and z in block-parity mode order.
+
+    Returns (Me, Mo); raises when the symmetry does not hold."""
+    n0, n1 = M.shape
+    if axis == 0:
+        h = n1 // 2
+        if (np.abs(M[0::2, :h] - M[0::2, h:]).max() > 1e-9 * np.abs(M).max()
+                or np.abs(M[1::2, :h] + M[1::2, h:]).max()
+                > 1e-9 * np.abs(M).max()):
+            raise ValueError("no forward parity symmetry")
+        return M[0::2, :h].copy(), M[1::2, :h].copy()
+    h = n0 // 2
+    if (np.abs(M[:h, 0::2] - M[h:, 0::2]).max() > 1e-9 * np.abs(M).max()
+            or np.abs(M[:h, 1::2] + M[h:, 1::2]).max()
+            > 1e-9 * np.abs(M).max()):
+        raise ValueError("no inverse parity symmetry")
+    return M[:h, 0::2].copy(), M[:h, 1::2].copy()
+
+
+def _psplit_right(x, e_parts, o_parts, terms):
+    """x @ M^T for a forward-parity-split M acting on the LANE axis of a
+    2-D slab: output columns (spectral modes) in block-parity order."""
+    h = x.shape[1] // 2
+    dn = (((1,), (1,)), ((), ()))
+    E = _dot_split(_split(x[:, :h] + x[:, h:], terms),
+                   tuple(r[...] for r in e_parts), dn)
+    O = _dot_split(_split(x[:, :h] - x[:, h:], terms),
+                   tuple(r[...] for r in o_parts), dn)
+    return jnp.concatenate([E, O], axis=1)
+
+
+def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w,
+                    bfly=False, bfz=False):
     """Shared divergence-y/z + spectral-solve computation on one slab:
-    m1 = y-stage matrix parts (banded Iy/Sy + dense Ty when banded_y,
-    else transform-folded dense iy/sy) followed by iz, sz parts; tabs =
+    m1 = y-stage matrix parts (banded Iy/Sy + dense Ty — or its
+    butterfly split A + 4 diagonals — when banded_y, else
+    transform-folded dense iy/sy) followed by iz, sz parts; tabs =
     (A, B, Myz, k2x, tx2, mx) refs. Returns the spectral solution q."""
     nparts = max(terms, 1)
-    ny_mats = 3 if banded_y else 2
     iy, sy = m1[:nparts], m1[nparts:2 * nparts]
-    ty = m1[2 * nparts:3 * nparts] if banded_y else None
-    zo = ny_mats * nparts
-    iz, sz = m1[zo:zo + nparts], m1[zo + nparts:zo + 2 * nparts]
+    if banded_y and bfly:
+        te = m1[2 * nparts:3 * nparts]
+        to = m1[3 * nparts:4 * nparts]
+        zo = 4 * nparts
+    elif banded_y:
+        ty = m1[2 * nparts:3 * nparts]
+        zo = 3 * nparts
+    else:
+        zo = 2 * nparts
+    if bfz:
+        ize, izo = m1[zo:zo + nparts], m1[zo + nparts:zo + 2 * nparts]
+        sze = m1[zo + 2 * nparts:zo + 3 * nparts]
+        szo = m1[zo + 3 * nparts:zo + 4 * nparts]
+    else:
+        iz, sz = m1[zo:zo + nparts], m1[zo + nparts:zo + 2 * nparts]
     A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref = tabs
+
+    def zstage(duv, dwm):
+        # divergence z stage (lane axis): F = Iz duv + Sz dwm, parity-
+        # split to half flops when the z axis is periodic (bfz)
+        if bfz:
+            return (_psplit_right(duv, ize, izo, terms)
+                    + _psplit_right(dwm, sze, szo, terms))
+        return _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
+
     if banded_y:
         # factorized y stage: banded Iy/Sy then ONE dense Ty on each
-        # combined field (flops: 2 dense + ~0.6 banded vs 3 dense)
+        # combined field (flops: 2 dense + ~0.6 banded vs 3 dense);
+        # with bfly the Ty runs as a parity split (half flops again)
         duv = (_banded_left(iy, du, nb, bs, w, terms)
                + _banded_left(sy, dv, nb, bs, w, terms))
         dwm = _banded_left(iy, dw, nb, bs, w, terms)
-        F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
-        F = _mm_left(ty, F, terms)
+        F = zstage(duv, dwm)
+        if bfly:
+            F = _bfly_fwd(te, to, F, terms)
+        else:
+            F = _mm_left(ty, F, terms)
     else:
         # divergence y stage (axis 0 of the slab): duv = Iy du + Sy dv
         duv = _mm_left(iy, du, terms) + _mm_left(sy, dv, terms)
         dwm = _mm_left(iy, dw, terms)
-        # divergence z stage (lane axis): F = Iz duv + Sz dwm
-        F = _mm_right(duv, iz, terms) + _mm_right(dwm, sz, terms)
+        F = zstage(duv, dwm)
     # spectral solve: q = -F / waves, with the zero-wave guard and the
     # Nyquist masks of matmul_poisson._inv_waves
     i = pl.program_id(0)
@@ -114,86 +245,122 @@ def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w):
     return F * inv * (mx_ref[i] * Myz_ref[...])
 
 
-def _grad_body(q, m2, terms, banded_y, nvy, nvz, nb, bs, w):
-    """Shared gradient-z/y computation on one slab: m2 = gz_is parts +
-    y-stage parts (banded Iy'/Sy' + dense Ti_y when banded_y, else
-    folded gy_is/gy_i). Returns (p_zy, dpdy, dpdz) — still spectral in
-    x; the x stage follows in its own kernel."""
+def _grad_body(q, m2, terms, banded_y, nvy, nvz, nb, bs, w, bfly=False,
+               bfz=False):
+    """Shared gradient-z/y computation on one slab: m2 = gz_is parts
+    (or their inverse parity split GE/GO when bfz) + y-stage parts
+    (banded Iy'/Sy' + dense Ti_y — or its parity split Te^T/To^T + w —
+    when banded_y, else folded gy_is/gy_i). Returns (p_zy, dpdy, dpdz)
+    — still spectral in x; the x stage follows in its own kernel."""
     nparts = max(terms, 1)
-    gz_is = m2[:nparts]
-    # gradient z stage, interp/stagder row-stacked into one dot
-    both_z = _mm_right(q, gz_is, terms)          # (ncy, 2nvz)
-    p_z = both_z[:, :nvz]
-    dpdz_s = both_z[:, nvz:]
+    if bfz:
+        # inverse parity split of the STACKED gz_is: q's z-modes are in
+        # block-parity order, the even/odd column blocks act on each and
+        # the physical halves reassemble as a +/- b (half the flops)
+        ge, go = m2[:nparts], m2[nparts:2 * nparts]
+        hm = q.shape[1] // 2
+        h = nvz // 2
+        dn = (((1,), (1,)), ((), ()))
+        A = _dot_split(_split(q[:, :hm], terms),
+                       tuple(r[...] for r in ge), dn)   # (ncy, 2h)
+        B = _dot_split(_split(q[:, hm:], terms),
+                       tuple(r[...] for r in go), dn)
+        ai, as_ = A[:, :h], A[:, h:]
+        bi, bs_ = B[:, :h], B[:, h:]
+        p_z = jnp.concatenate([ai + bi, ai - bi], axis=1)
+        dpdz_s = jnp.concatenate([as_ + bs_, as_ - bs_], axis=1)
+        both_z = jnp.concatenate([p_z, dpdz_s], axis=1)
+        yo = 2 * nparts
+    else:
+        gz_is = m2[:nparts]
+        # gradient z stage, interp/stagder row-stacked into one dot
+        both_z = _mm_right(q, gz_is, terms)      # (ncy, 2nvz)
+        p_z = both_z[:, :nvz]
+        dpdz_s = both_z[:, nvz:]
+        yo = nparts
     if banded_y:
         # factorized: ONE dense Ti_y dot covering both fields (they are
         # already z-concatenated in both_z), then banded interp/stagder;
         # the shared interp also runs as one two-field banded apply
-        giy = m2[nparts:2 * nparts]
-        gsy = m2[2 * nparts:3 * nparts]
-        tiy = m2[3 * nparts:4 * nparts]
-        GH = _mm_left(tiy, both_z, terms)        # (ncy, 2nvz)
+        giy = m2[yo:yo + nparts]
+        gsy = m2[yo + nparts:yo + 2 * nparts]
+        if bfly:
+            tet = m2[yo + 2 * nparts:yo + 3 * nparts]
+            tot = m2[yo + 3 * nparts:yo + 4 * nparts]
+            GH = _bfly_inv(tet, tot, m2[yo + 4 * nparts], both_z, terms)
+        else:
+            tiy = m2[yo + 2 * nparts:yo + 3 * nparts]
+            GH = _mm_left(tiy, both_z, terms)    # (ncy, 2nvz)
         both_i = _banded_left(giy, GH, nb, bs, w, terms)
         return (both_i[:, :nvz],
                 _banded_left(gsy, GH[:, :nvz], nb, bs, w, terms),
                 both_i[:, nvz:])
     # gradient y stage on p_z (stacked), plus the interp of dpdz
-    gy_is, gy_i = m2[nparts:2 * nparts], m2[2 * nparts:3 * nparts]
+    gy_is, gy_i = m2[yo:yo + nparts], m2[yo + nparts:yo + 2 * nparts]
     both_y = _mm_left(gy_is, p_z, terms)         # (2nvy, nvz)
     return (both_y[:nvy], both_y[nvy:], _mm_left(gy_i, dpdz_s, terms))
 
 
-def _n_mats1(terms, banded_y):
-    return ((3 if banded_y else 2) + 2) * max(terms, 1)
+def _n_mats1(terms, banded_y, bfly=False, bfz=False):
+    np_ = max(terms, 1)
+    y = 4 if (banded_y and bfly) else (3 if banded_y else 2)
+    z = 4 if bfz else 2
+    return (y + z) * np_
 
 
-def _n_mats2(terms, banded_y):
-    return (1 + (3 if banded_y else 2)) * max(terms, 1)
+def _n_mats2(terms, banded_y, bfly=False, bfz=False):
+    np_ = max(terms, 1)
+    z = 2 if bfz else 1
+    y = (2 + (2 if bfly else 1)) if banded_y else 2
+    return (z + y) * np_ + (1 if banded_y and bfly else 0)
 
 
-def _div_solve_kernel(*refs, terms, banded_y, nb=0, bs=0, w=0):
+def _div_solve_kernel(*refs, terms, banded_y, nb=0, bs=0, w=0, bfly=False,
+                      bfz=False):
     """refs: du, dv, dw slabs + m1 matrix parts + tables + out q."""
     du_ref, dv_ref, dw_ref = refs[:3]
-    n1 = _n_mats1(terms, banded_y)
+    n1 = _n_mats1(terms, banded_y, bfly, bfz)
     m1 = refs[3:3 + n1]
     tabs = refs[3 + n1:3 + n1 + 6]
     q_ref = refs[3 + n1 + 6]
     q = _div_solve_body(du_ref[0], dv_ref[0], dw_ref[0], m1, tabs,
-                        terms, banded_y, nb, bs, w)
+                        terms, banded_y, nb, bs, w, bfly, bfz)
     q_ref[0] = q.astype(q_ref.dtype)
 
 
-def _grad_kernel(*refs, terms, nvy, nvz, banded_y, nb=0, bs=0, w=0):
+def _grad_kernel(*refs, terms, nvy, nvz, banded_y, nb=0, bs=0, w=0,
+                 bfly=False, bfz=False):
     """refs: q slab + m2 matrix parts + outs p_zy, dpdy, dpdz."""
     q_ref = refs[0]
-    n2 = _n_mats2(terms, banded_y)
+    n2 = _n_mats2(terms, banded_y, bfly, bfz)
     m2 = refs[1:1 + n2]
     pzy_ref, dpdy_ref, dpdz_ref = refs[1 + n2:]
     p_zy, dpdy, dpdz = _grad_body(q_ref[0], m2, terms, banded_y,
-                                  nvy, nvz, nb, bs, w)
+                                  nvy, nvz, nb, bs, w, bfly, bfz)
     pzy_ref[0] = p_zy.astype(pzy_ref.dtype)
     dpdy_ref[0] = dpdy.astype(dpdy_ref.dtype)
     dpdz_ref[0] = dpdz.astype(dpdz_ref.dtype)
 
 
-def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, nb, bs, w):
+def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, nb, bs, w,
+                         bfly=False, bfz=False):
     """k1 and k2 merged: du,dv,dw -> q, p_zy, dpdy, dpdz with the
     spectral solution q never leaving VMEM between the stages (saves its
     HBM round-trip; enabled by the raised VMEM_LIMIT). q is still an
     output — it is the carried pressure state (and feeds the physical-p
     reconstruction under keep_pressure)."""
     du_ref, dv_ref, dw_ref = refs[:3]
-    n1 = _n_mats1(terms, banded_y)
-    n2 = _n_mats2(terms, banded_y)
+    n1 = _n_mats1(terms, banded_y, bfly, bfz)
+    n2 = _n_mats2(terms, banded_y, bfly, bfz)
     m1 = refs[3:3 + n1]
     m2 = refs[3 + n1:3 + n1 + n2]
     tabs = refs[3 + n1 + n2:3 + n1 + n2 + 6]
     q_ref, pzy_ref, dpdy_ref, dpdz_ref = refs[3 + n1 + n2 + 6:]
     q = _div_solve_body(du_ref[0], dv_ref[0], dw_ref[0], m1, tabs,
-                        terms, banded_y, nb, bs, w)
+                        terms, banded_y, nb, bs, w, bfly, bfz)
     q_ref[0] = q.astype(q_ref.dtype)
     p_zy, dpdy, dpdz = _grad_body(q, m2, terms, banded_y, nvy, nvz,
-                                  nb, bs, w)
+                                  nb, bs, w, bfly, bfz)
     pzy_ref[0] = p_zy.astype(pzy_ref.dtype)
     dpdy_ref[0] = dpdy.astype(dpdy_ref.dtype)
     dpdz_ref[0] = dpdz.astype(dpdz_ref.dtype)
@@ -236,11 +403,6 @@ def slab_pressure_supported(ns, terms=3) -> bool:
     if not (ncy % 8 == 0 and nvy % 8 == 0
             and ncz % 128 == 0 and nvz % 128 == 0
             and min(ncy, ncz) >= 128):
-        return False
-    # the x-stage kernels K-block the (ncx|nvx) contraction; an extent
-    # that only divides down to tiny K blocks degenerates into an
-    # n_in-step grid (see make_x_apply) -- require a sane K block
-    if _kblock(ncx) < 8 or _kblock(nvx) < 8:
         return False
     # merged mid-kernel VMEM footprint: double-buffered pipeline planes
     # (3 VERT inputs, q CELL + 3 VERT outputs), resident matrix parts
@@ -291,17 +453,54 @@ def make_pressure_slab(ns, terms=2, interpret=False):
                 bmats[key] = banded_blocks(op, bw, bbs, tol=_BAND_TOL)
         except ValueError:
             banded_y = False
-    if banded_y:
+    # radix-2 butterfly split of the pure y transforms (half the dense
+    # transform flops; X3D2_BFLY=0 keeps the dense Ty/Ti_y dots)
+    import os as _os
+    bfly = (banded_y and ny % 16 == 0
+            and _os.environ.get("X3D2_BFLY", "1") != "0")
+    if bfly:
+        try:
+            Teb, Tob, wvec = parity_split(ny)
+        except ValueError:
+            bfly = False
+    # z-stage parity split (periodic z): the transform-folded z
+    # matrices are circulant compositions, so the same half-period
+    # column/row symmetry halves their dense flops (parity_split_folded)
+    bfz = (2 not in po.folded and nvz == nz and nz % 16 == 0
+           and _os.environ.get("X3D2_BFLY", "1") != "0")
+    if bfz:
+        try:
+            Ize, Izo = parity_split_folded(d64["iz"], 0)
+            Sze, Szo = parity_split_folded(d64["sz"], 0)
+            Gie, Gio = parity_split_folded(d64["gz_i"], 1)
+            Gse, Gso = parity_split_folded(d64["gz_s"], 1)
+            GE = np.concatenate([Gie, Gse], axis=0)
+            GO = np.concatenate([Gio, Gso], axis=0)
+        except ValueError:
+            bfz = False
+    if bfz:
+        z1 = parts(Ize) + parts(Izo) + parts(Sze) + parts(Szo)
+        z2 = parts(GE) + parts(GO)
+    else:
+        z1 = parts(d64["iz"]) + parts(d64["sz"])
+        z2 = parts(d64["gz_is"])
+    if banded_y and bfly:
+        # w indexed by the block-parity mode order of _bfly_fwd
+        w_perm = np.concatenate([wvec[0::2], wvec[1::2]])
+        m1 = parts(bmats["iy"]) + parts(bmats["sy"]) + parts(Teb) \
+            + parts(Tob) + z1
+        m2 = z2 + parts(bmats["giy"]) \
+            + parts(bmats["gsy"]) + parts(Teb.T) + parts(Tob.T) \
+            + [jnp.asarray(w_perm.reshape(ny, 1), jnp.float32)]
+    elif banded_y:
         Ty64 = real_dft_matrix(ny)
         Tiy64 = np.linalg.inv(Ty64)
-        m1 = parts(bmats["iy"]) + parts(bmats["sy"]) + parts(Ty64) \
-            + parts(d64["iz"]) + parts(d64["sz"])
-        m2 = parts(d64["gz_is"]) + parts(bmats["giy"]) \
+        m1 = parts(bmats["iy"]) + parts(bmats["sy"]) + parts(Ty64) + z1
+        m2 = z2 + parts(bmats["giy"]) \
             + parts(bmats["gsy"]) + parts(Tiy64)
     else:
-        m1 = parts(d64["iy"]) + parts(d64["sy"]) + parts(d64["iz"]) \
-            + parts(d64["sz"])
-        m2 = parts(d64["gz_is"]) + parts(d64["gy_is"]) + parts(d64["gy_i"])
+        m1 = parts(d64["iy"]) + parts(d64["sy"]) + z1
+        m2 = z2 + parts(d64["gy_is"]) + parts(d64["gy_i"])
 
     # separable solve-diagonal tables (see module docstring)
     k2x, k2y, k2z = po.k2_1d
@@ -318,6 +517,17 @@ def make_pressure_slab(ns, terms=2, interpret=False):
                 Myz[ny // 2, :] = 0.0
             else:
                 Myz[:, nz // 2] = 0.0
+    q_perm = None
+    if banded_y and bfly:
+        # block-parity spectral y ordering (see _bfly_fwd): permute the
+        # mode-indexed table rows instead of interleaving in-kernel
+        q_perm = np.concatenate([np.arange(0, ny, 2), np.arange(1, ny, 2)])
+        A, B, Myz = A[q_perm], B[q_perm], Myz[q_perm]
+    z_perm = None
+    if bfz:
+        # block-parity spectral z ordering of q: permute table COLUMNS
+        z_perm = np.concatenate([np.arange(0, nz, 2), np.arange(1, nz, 2)])
+        A, B, Myz = A[:, z_perm], B[:, z_perm], Myz[:, z_perm]
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     tables = [f32(A), f32(B), f32(Myz), f32(k2x), f32(Tx ** 2), f32(mx)]
 
@@ -327,7 +537,8 @@ def make_pressure_slab(ns, terms=2, interpret=False):
 
     nb = ny // bbs
     k1 = functools.partial(_div_solve_kernel, terms=terms,
-                           banded_y=banded_y, nb=nb, bs=bbs, w=bw)
+                           banded_y=banded_y, nb=nb, bs=bbs, w=bw,
+                           bfly=bfly, bfz=bfz)
     k1_specs = ([vert_plane] * 3
                 + [_const_spec(p.shape) for p in m1]
                 + [_const_spec((ny, nz))] * 3 + [_scalar_spec(nx)] * 3)
@@ -341,7 +552,8 @@ def make_pressure_slab(ns, terms=2, interpret=False):
         )(du, dv, dw, *m1, *tables)
 
     k2 = functools.partial(_grad_kernel, terms=terms, nvy=nvy, nvz=nvz,
-                           banded_y=banded_y, nb=nb, bs=bbs, w=bw)
+                           banded_y=banded_y, nb=nb, bs=bbs, w=bw,
+                           bfly=bfly, bfz=bfz)
     k2_specs = [cell_plane] + [_const_spec(p.shape) for p in m2]
 
     def grad_fn(q):
@@ -356,7 +568,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
     # the divergence/solve and gradient stages (saves its HBM read)
     kmid = functools.partial(_pressure_mid_kernel, terms=terms, nvy=nvy,
                              nvz=nvz, banded_y=banded_y,
-                             nb=nb, bs=bbs, w=bw)
+                             nb=nb, bs=bbs, w=bw, bfly=bfly, bfz=bfz)
     kmid_specs = ([vert_plane] * 3
                   + [_const_spec(p.shape) for p in m1]
                   + [_const_spec(p.shape) for p in m2]
@@ -411,6 +623,19 @@ def make_pressure_slab(ns, terms=2, interpret=False):
         xk[name + "_sub"] = make_x_apply(d64[name], terms=terms, sub=True,
                                          interpret=interpret)
 
+    # block-parity q basis (bfly/bfz): consumers reconstructing physical
+    # p use column-permuted inverse transforms (zero runtime cost)
+    ti_y = jnp.asarray(po.Ti[1])
+    if q_perm is not None:
+        ti_y = jnp.asarray(np.asarray(po.Ti[1])[:, q_perm])
+    ti_z = jnp.asarray(po.Ti[2])
+    if z_perm is not None:
+        ti_z = jnp.asarray(np.asarray(po.Ti[2])[:, z_perm])
+    for f in (div_solve_fn, grad_fn, mid_fn, make_mid_local):
+        f.q_perm = q_perm
+        f.z_perm = z_perm
+        f.ti_y = ti_y
+        f.ti_z = ti_z
     return div_solve_fn, grad_fn, xk, mid_fn, make_mid_local
 
 
@@ -480,9 +705,10 @@ def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
     kb = _kblock(n_in, kb)
     if kb < 8:
         # an n_in-step K grid is pathological (per-step DMA overhead
-        # dwarfs the dot); callers gate on this and use the einsum apply
-        raise ValueError(f"x-apply cannot K-block n_in={n_in} "
-                         f"(largest dividing block {kb} < 8)")
+        # dwarfs the dot): run the contraction as ONE full-K block
+        # instead (odd extents are small in practice — Dirichlet/Neumann
+        # cell axes — so the unpipelined K fits VMEM comfortably)
+        kb = n_in
     nk = n_in // kb
     parts = [jnp.asarray(p) for p in split_hi_lo(M64, terms)]
     in_spec = pl.BlockSpec((kb, t1, t2), lambda i, j, k: (k, i, j),

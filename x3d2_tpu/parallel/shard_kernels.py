@@ -173,16 +173,13 @@ class PallasXApplyOp:
 
 def sharded_x_apply_supported(solver, dmesh, t1=8, t2=128) -> bool:
     """Every device-local (y, z) block must satisfy the kernel tiling
-    (t1 | ny_loc, t2 | nz_loc) for both VERT and CELL extents, and the
-    x contraction must admit a sane K block (make_x_apply raises below
-    8)."""
-    from ..ops.pallas_poisson import _kblock
+    (t1 | ny_loc, t2 | nz_loc) for both VERT and CELL extents."""
     for loc in (DataLoc.VERT, DataLoc.CELL):
         dims = solver.mesh.dims(loc)
         spec = tuple(field_spec(dmesh, dims))
         ny_loc = dims[1] // (dmesh.shape[spec[1]] if spec[1] else 1)
         nz_loc = dims[2] // (dmesh.shape[spec[2]] if spec[2] else 1)
-        if ny_loc % t1 or nz_loc % t2 or _kblock(dims[0]) < 8:
+        if ny_loc % t1 or nz_loc % t2:
             return False
     return True
 
@@ -287,10 +284,13 @@ def make_repencilled_pressure(solver, dmesh: DeviceMesh, terms=2,
         un, vn, wn, p = sharded(u, v, w)
         if keep_pressure:
             # physical p: inverse transforms as GSPMD contractions on
-            # the sharded spectral solution (y/z span shards)
+            # the sharded spectral solution (y/z span shards); q's y
+            # basis may be block-parity-ordered (bfly)
             from ..ops.compact import apply_matrix
             for a in range(3):
-                p = apply_matrix(po.Ti[a], p, a)
+                Ti_a = (make_mid_local.ti_y if a == 1 else
+                            make_mid_local.ti_z if a == 2 else po.Ti[a])
+                p = apply_matrix(Ti_a, p, a)
         return un, vn, wn, p
 
     return fn

@@ -407,7 +407,10 @@ class NavierStokes:
             if keep_pressure:
                 p = q
                 for a in range(3):
-                    p = apply_matrix(po.Ti[a], p, a)
+                    # q's y basis may be block-parity-ordered (bfly)
+                    Ti_a = (slab[3].ti_y if a == 1 else
+                            slab[3].ti_z if a == 2 else po.Ti[a])
+                    p = apply_matrix(Ti_a, p, a)
             else:
                 p = q
             return dpdx, dpdy, dpdz, p
@@ -475,7 +478,10 @@ class NavierStokes:
             p = q
             if keep_pressure:
                 for a in range(3):
-                    p = apply_matrix(self.poisson.Ti[a], p, a)
+                    # q's y basis may be block-parity-ordered (bfly)
+                    Ti_a = (slab[3].ti_y if a == 1 else slab[3].ti_z
+                            if a == 2 else self.poisson.Ti[a])
+                    p = apply_matrix(Ti_a, p, a)
             return un, vn, wn, p
         dpdx, dpdy, dpdz, p = self.pressure_grads(
             u, v, w, keep_pressure=keep_pressure)
