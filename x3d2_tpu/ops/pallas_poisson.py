@@ -528,6 +528,38 @@ def make_pressure_slab(ns, terms=2, interpret=False):
         # block-parity spectral z ordering of q: permute table COLUMNS
         z_perm = np.concatenate([np.arange(0, nz, 2), np.arange(1, nz, 2)])
         A, B, Myz = A[:, z_perm], B[:, z_perm], Myz[:, z_perm]
+
+    # x-stage applies: parity-split kernels (half the flops; the x modes
+    # then live in block-parity order, so the per-plane solve tables are
+    # permuted to match) with a dense fallback when the x axis is not
+    # periodic-even. All six kernels must agree on the ordering.
+    xk = {}
+    x_perm = None
+    try:
+        if _os.environ.get("X3D2_BFLY", "1") == "0":
+            raise ValueError("parity splits disabled")
+        for name in ("sx", "ix"):
+            xk[name] = make_x_apply(d64[name], terms=terms,
+                                    interpret=interpret, parity="fwd")
+        for name in ("gx_s", "gx_i"):
+            xk[name] = make_x_apply(d64[name], terms=terms,
+                                    interpret=interpret, parity="inv")
+            xk[name + "_sub"] = make_x_apply(d64[name], terms=terms,
+                                             sub=True, interpret=interpret,
+                                             parity="inv")
+        x_perm = np.concatenate([np.arange(0, nx, 2),
+                                 np.arange(1, nx, 2)])
+        k2x, mx = k2x[x_perm], mx[x_perm]
+        Tx = Tx[x_perm]
+    except ValueError:
+        xk = {}
+        for name in ("sx", "ix", "gx_s", "gx_i"):
+            xk[name] = make_x_apply(d64[name], terms=terms,
+                                    interpret=interpret)
+        for name in ("gx_s", "gx_i"):
+            xk[name + "_sub"] = make_x_apply(d64[name], terms=terms,
+                                             sub=True,
+                                             interpret=interpret)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     tables = [f32(A), f32(B), f32(Myz), f32(k2x), f32(Tx ** 2), f32(mx)]
 
@@ -613,16 +645,6 @@ def make_pressure_slab(ns, terms=2, interpret=False):
     # slice the SAME arrays per shard instead of re-deriving them
     make_mid_local.tables = tables
 
-    # x-stage applies as Pallas kernels too (see make_x_apply): plain
-    # variants for pressure_grads, subtract-fused for the correction
-    xk = {}
-    for name in ("sx", "ix", "gx_s", "gx_i"):
-        xk[name] = make_x_apply(d64[name], terms=terms,
-                                interpret=interpret)
-    for name in ("gx_s", "gx_i"):
-        xk[name + "_sub"] = make_x_apply(d64[name], terms=terms, sub=True,
-                                         interpret=interpret)
-
     # block-parity q basis (bfly/bfz): consumers reconstructing physical
     # p use column-permuted inverse transforms (zero runtime cost)
     ti_y = jnp.asarray(po.Ti[1])
@@ -631,11 +653,16 @@ def make_pressure_slab(ns, terms=2, interpret=False):
     ti_z = jnp.asarray(po.Ti[2])
     if z_perm is not None:
         ti_z = jnp.asarray(np.asarray(po.Ti[2])[:, z_perm])
+    ti_x = jnp.asarray(po.Ti[0])
+    if x_perm is not None:
+        ti_x = jnp.asarray(np.asarray(po.Ti[0])[:, x_perm])
     for f in (div_solve_fn, grad_fn, mid_fn, make_mid_local):
         f.q_perm = q_perm
         f.z_perm = z_perm
+        f.x_perm = x_perm
         f.ti_y = ti_y
         f.ti_z = ti_z
+        f.ti_x = ti_x
     return div_solve_fn, grad_fn, xk, mid_fn, make_mid_local
 
 
@@ -696,12 +723,136 @@ def _kblock(n_in, kb=256):
     return kb
 
 
+def _x_parity_fwd_kernel(*refs, terms, nk, ho):
+    """Parity-split forward x apply: two K streams feed the two input
+    halves; even/odd-mode partial dots accumulate into the out halves
+    (output modes in block-parity order, half the flops)."""
+    fa_ref, fb_ref = refs[:2]
+    nparts = max(terms, 1)
+    me = refs[2:2 + nparts]
+    mo = refs[2 + nparts:2 + 2 * nparts]
+    out_ref = refs[2 + 2 * nparts]
+    k = pl.program_id(2)
+    fa, fb = fa_ref[...], fb_ref[...]
+    sh = fa.shape
+    s = (fa + fb).reshape(sh[0], -1)
+    d = (fa - fb).reshape(sh[0], -1)
+    E = _mm_left(me, s, terms).reshape((ho,) + sh[1:])
+    O = _mm_left(mo, d, terms).reshape((ho,) + sh[1:])
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[:ho] = out_ref[:ho] + E.astype(out_ref.dtype)
+        out_ref[ho:] = out_ref[ho:] + O.astype(out_ref.dtype)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:ho] = E.astype(out_ref.dtype)
+        out_ref[ho:] = O.astype(out_ref.dtype)
+
+
+def _x_parity_inv_kernel(*refs, terms, sub, nk, h):
+    """Parity-split inverse x apply: the two K streams read the
+    even/odd-mode halves of the (block-parity-ordered) spectral input;
+    the physical output assembles as [a + b; a - b] on the last K step
+    (with the fused correction subtract when `sub`)."""
+    ze_ref, zo_ref = refs[:2]
+    i = 2
+    s_ref = None
+    if sub:
+        s_ref = refs[2]
+        i = 3
+    nparts = max(terms, 1)
+    me = refs[i:i + nparts]
+    mo = refs[i + nparts:i + 2 * nparts]
+    out_ref = refs[i + 2 * nparts]
+    k = pl.program_id(2)
+    ze, zo = ze_ref[...], zo_ref[...]
+    sh = ze.shape
+    A = _mm_left(me, ze.reshape(sh[0], -1), terms).reshape((h,) + sh[1:])
+    B = _mm_left(mo, zo.reshape(sh[0], -1), terms).reshape((h,) + sh[1:])
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[:h] = out_ref[:h] + A.astype(out_ref.dtype)
+        out_ref[h:] = out_ref[h:] + B.astype(out_ref.dtype)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:h] = A.astype(out_ref.dtype)
+        out_ref[h:] = B.astype(out_ref.dtype)
+
+    @pl.when(k == nk - 1)
+    def _():
+        a = out_ref[:h]
+        b = out_ref[h:]
+        full = jnp.concatenate([a + b, a - b], axis=0)
+        if sub:
+            out_ref[...] = s_ref[...] - full
+        else:
+            out_ref[...] = full
+
+
 def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
-                 interpret=False):
+                 interpret=False, parity=None):
     """Build fn(f[, s]) applying the dense (n_out, n_in) matrix along
     axis 0 of a 3-D field (full-x tiles, grid over y/z and K blocks),
-    optionally fused with the correction `s - M @ f`."""
+    optionally fused with the correction `s - M @ f`.
+
+    parity='fwd'|'inv' runs the half-flop parity split of
+    parity_split_folded (periodic x): 'fwd' consumes natural physical
+    input and emits block-parity-ordered spectral modes; 'inv' consumes
+    block-parity modes and emits natural physical output. Raises
+    ValueError when the matrix lacks the symmetry."""
     n_out, n_in = M64.shape
+    if parity is not None:
+        if n_in % 2 or n_out % 2:
+            raise ValueError("parity x-apply needs even extents")
+        Me, Mo = parity_split_folded(np.asarray(M64, np.float64),
+                                     0 if parity == "fwd" else 1)
+        h_in = n_in // 2
+        ho = n_out // 2
+        kbp = _kblock(h_in, kb)
+        if kbp < 8:
+            kbp = h_in
+        nk = h_in // kbp
+        me = [jnp.asarray(p) for p in split_hi_lo(Me, terms)]
+        mo = [jnp.asarray(p) for p in split_hi_lo(Mo, terms)]
+        fa_spec = pl.BlockSpec((kbp, t1, t2), lambda i, j, k: (k, i, j),
+                               memory_space=pltpu.VMEM)
+        fb_spec = pl.BlockSpec((kbp, t1, t2),
+                               lambda i, j, k, nk=nk: (k + nk, i, j),
+                               memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((n_out, t1, t2), lambda i, j, k: (0, i, j),
+                              memory_space=pltpu.VMEM)
+        pm_spec = pl.BlockSpec((ho, kbp), lambda i, j, k: (0, k),
+                               memory_space=pltpu.VMEM)
+        if parity == "fwd":
+            if sub:
+                raise ValueError("sub is an inverse-stage fusion")
+            kern = functools.partial(_x_parity_fwd_kernel, terms=terms,
+                                     nk=nk, ho=ho)
+        else:
+            kern = functools.partial(_x_parity_inv_kernel, terms=terms,
+                                     sub=sub, nk=nk, h=ho)
+
+        def fn(f, s=None):
+            ny, nz = f.shape[1], f.shape[2]
+            if ny % t1 or nz % t2 or ny < t1 or nz < t2:
+                raise ValueError(f"x-apply tiling ({t1},{t2}) cannot "
+                                 f"cover ({ny},{nz})")
+            grid = (ny // t1, nz // t2, nk)
+            args = (f, f, s) if sub else (f, f)
+            specs = [fa_spec, fb_spec] + ([s_spec] if sub else []) \
+                + [pm_spec] * (2 * len(me))
+            return pl.pallas_call(
+                kern, grid=grid, in_specs=specs, out_specs=s_spec,
+                out_shape=jax.ShapeDtypeStruct((n_out, ny, nz), f.dtype),
+                interpret=interpret,
+                compiler_params=VMEM_LIMIT,
+            )(*args, *me, *mo)
+
+        return fn
     kb = _kblock(n_in, kb)
     if kb < 8:
         # an n_in-step K grid is pathological (per-step DMA overhead

@@ -288,8 +288,8 @@ def make_repencilled_pressure(solver, dmesh: DeviceMesh, terms=2,
             # basis may be block-parity-ordered (bfly)
             from ..ops.compact import apply_matrix
             for a in range(3):
-                Ti_a = (make_mid_local.ti_y if a == 1 else
-                            make_mid_local.ti_z if a == 2 else po.Ti[a])
+                Ti_a = (make_mid_local.ti_x, make_mid_local.ti_y,
+                        make_mid_local.ti_z)[a]
                 p = apply_matrix(Ti_a, p, a)
         return un, vn, wn, p
 

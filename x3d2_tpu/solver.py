@@ -408,8 +408,8 @@ class NavierStokes:
                 p = q
                 for a in range(3):
                     # q's y basis may be block-parity-ordered (bfly)
-                    Ti_a = (slab[3].ti_y if a == 1 else
-                            slab[3].ti_z if a == 2 else po.Ti[a])
+                    Ti_a = (slab[3].ti_x, slab[3].ti_y,
+                            slab[3].ti_z)[a]
                     p = apply_matrix(Ti_a, p, a)
             else:
                 p = q
@@ -479,8 +479,8 @@ class NavierStokes:
             if keep_pressure:
                 for a in range(3):
                     # q's y basis may be block-parity-ordered (bfly)
-                    Ti_a = (slab[3].ti_y if a == 1 else slab[3].ti_z
-                            if a == 2 else self.poisson.Ti[a])
+                    Ti_a = (slab[3].ti_x, slab[3].ti_y,
+                            slab[3].ti_z)[a]
                     p = apply_matrix(Ti_a, p, a)
             return un, vn, wn, p
         dpdx, dpdy, dpdz, p = self.pressure_grads(
