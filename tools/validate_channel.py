@@ -53,15 +53,21 @@ nu = 1.0 / 4200.0
 dt = params.dt
 
 
+ncell = float(np.prod(mesh.global_cell_dims))
+
+
 @jax.jit
 def profiles(state):
     u, v, w = state["u"], state["v"], state["w"]
     ax = (0, 2)
     um, vm, wm = u.mean(ax), v.mean(ax), w.mean(ax)
+    # the bulk constraint metric matches the case's define_bc: global
+    # VERT sum over the CELL count (case/channel.f90:70-78)
+    ub = jnp.sum(u) / ncell
     return jnp.stack([
         um, vm, wm,
         (u * u).mean(ax), (v * v).mean(ax), (w * w).mean(ax),
-        (u * v).mean(ax), jnp.full_like(um, u.mean()),
+        (u * v).mean(ax), jnp.full_like(um, ub),
     ])
 
 
