@@ -50,7 +50,38 @@ def ke_host_f64(state):
     return 0.5 * tot / (np.prod(np.asarray(state["u"]).shape))
 
 
-def run_curve(dtype, compensated, device=None):
+def _flatten_state(state, prefix=""):
+    """Flatten a (possibly nested dict/tuple) solver state into arrays."""
+    out = {}
+    if isinstance(state, dict):
+        it = state.items()
+    else:  # tuple/list (e.g. AB olds)
+        it = ((str(i), v) for i, v in enumerate(state))
+    for k, v in it:
+        key = f"{prefix}{k}"
+        if isinstance(v, (dict, tuple, list)):
+            out.update(_flatten_state(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_into(template, flat, prefix=""):
+    """Rebuild state with template's structure from the flat npz arrays."""
+    if isinstance(template, dict):
+        return {k: _unflatten_into(v, flat, f"{prefix}{k}/")
+                if isinstance(v, (dict, tuple, list))
+                else flat[f"{prefix}{k}"].astype(np.asarray(v).dtype)
+                for k, v in template.items()}
+    rebuilt = [
+        _unflatten_into(v, flat, f"{prefix}{i}/")
+        if isinstance(v, (dict, tuple, list))
+        else flat[f"{prefix}{i}"].astype(np.asarray(v).dtype)
+        for i, v in enumerate(template)]
+    return tuple(rebuilt) if isinstance(template, tuple) else rebuilt
+
+
+def run_curve(dtype, compensated, device=None, resume=None):
     from x3d2_tpu.common import BC
     from x3d2_tpu.mesh import Mesh
     from x3d2_tpu.cases import SolverParams, TGVCase
@@ -62,6 +93,15 @@ def run_curve(dtype, compensated, device=None):
     case = TGVCase(mesh, params, dtype=dtype, monitor_path=None,
                    verbose=False, keep_pressure=False)
     state = case.initial_state()
+    start_it = 0
+    steps_out, kes = [0], [ke_host_f64(state)]
+    if resume and os.path.exists(resume):
+        d = np.load(resume)
+        start_it = int(d["it"])
+        steps_out = list(d["steps"])
+        kes = list(d["ke"])
+        state = _unflatten_into(state, d, "state/")
+        print(f"  resumed from {resume} at step {start_it}", flush=True)
     if device is not None:
         state = jax.device_put(state, device)
         step = jax.jit(case.step_fn, donate_argnums=0, device=device)
@@ -69,24 +109,31 @@ def run_curve(dtype, compensated, device=None):
         step = case._step
 
     nsteps = int(round(t_end / dt))
-    steps_out, kes = [0], [ke_host_f64(state)]
     t0 = time.perf_counter()
     partial = os.environ.get("KE_PARTIAL")  # incremental curve dump
-    for it in range(1, nsteps + 1):
+    for it in range(start_it + 1, nsteps + 1):
         state = step(state)
         if it % SAMPLE == 0:
             steps_out.append(it)
             kes.append(ke_host_f64(state))
             if it % (SAMPLE * 50) == 0:
                 el = time.perf_counter() - t0
+                done = it - start_it
                 print(f"  step {it}/{nsteps} ke={kes[-1]:.10f} "
-                      f"[{el:.0f}s, {el / it * 1e3:.0f} ms/step]",
+                      f"[{el:.0f}s, {el / done * 1e3:.0f} ms/step]",
                       flush=True)
                 if partial:
                     tmp = partial + ".tmp.npz"
                     np.savez(tmp, steps=np.asarray(steps_out),
                              ke=np.asarray(kes))
                     os.replace(tmp, partial)
+                if resume:
+                    tmp = resume + ".tmp.npz"
+                    np.savez(tmp, it=it, steps=np.asarray(steps_out),
+                             ke=np.asarray(kes),
+                             **{f"state/{k}": v for k, v in
+                                _flatten_state(state).items()})
+                    os.replace(tmp, resume)
     return np.asarray(steps_out), np.asarray(kes)
 
 
@@ -101,7 +148,9 @@ if mode == "ref":
     print(f"f64 CPU reference: TGV {n}^3 Re=1600 AB3 dt={dt} to t={t_end}",
           flush=True)
     with jax.default_device(cpu):
-        steps, kes = run_curve(jnp.float64, False)
+        steps, kes = run_curve(jnp.float64, False,
+                               resume=f"validation/keparity_{n}_ref64"
+                                      ".resume.npz")
     os.makedirs("validation", exist_ok=True)
     np.savez(curve_path("ref64"), steps=steps, ke=kes)
     print(f"wrote {curve_path('ref64')}")
