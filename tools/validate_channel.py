@@ -48,7 +48,12 @@ params = SolverParams(Re=4200.0, time_intg="RK3", dt=5e-3)
 case = ChannelCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                    verbose=False,
                    case_cfg=ChannelConfig(init_noise=(0.125,) * 3,
-                                          inlet_noise=(0.0,) * 3))
+                                          inlet_noise=(0.0,) * 3,
+                                          # transition trip (reference
+                                          # examples/channel/input.x3d):
+                                          # spanwise rotation for t < 25
+                                          rotation=True, omega_rot=0.12,
+                                          n_rotate=5000))
 nu = 1.0 / 4200.0
 dt = params.dt
 
