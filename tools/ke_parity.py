@@ -170,11 +170,15 @@ else:  # report
     import glob
     ref_file = curve_path("ref64")
     if not os.path.exists(ref_file):
-        sys.exit(f"no reference curve {ref_file}")
+        # fall back to the incremental dump of an in-flight reference leg
+        part = curve_path("ref64").replace(".npz", ".partial.npz")
+        if not os.path.exists(part):
+            sys.exit(f"no reference curve {ref_file}")
+        ref_file = part
     ref = np.load(ref_file)
     rs, rke = ref["steps"], ref["ke"]
     print(f"KE-curve parity vs f64 CPU reference, TGV {n}^3 Re=1600 "
-          f"(KE_0 = {rke[0]:.6f}):")
+          f"(KE_0 = {rke[0]:.6f}, ref covers t=[0,{rs[-1] * dt:.1f}]):")
     print(f"{'variant':>24s} {'max|dKE|':>12s} {'max|dKE|/KE0':>14s} "
           f"{'at t':>6s} {'<=1e-6?':>8s}")
     for f in sorted(glob.glob(f"validation/keparity_{n}_f32*.npz")):
