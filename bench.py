@@ -96,13 +96,13 @@ def main():
     case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                    verbose=False, keep_pressure=False)
     state = case.initial_state()
-    # compile + warmup
-    state = case._step(state)
+    # compile + warmup of the chunked runner (what case.run dispatches
+    # between output boundaries: n_iters steps chained in ONE program)
+    state = case._chunk(state, n_iters)
     jax.block_until_ready(state["u"])
 
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state = case._step(state)
+    state = case._chunk(state, n_iters)
     jax.block_until_ready(state["u"])
     ms_per_step = (time.perf_counter() - t0) / n_iters * 1e3
 

@@ -82,3 +82,29 @@ def test_generic_case_freestream_invariant():
     state = case.run(n_iters=5, state=case.initial_state(), n_output=10**9)
     assert np.max(np.abs(np.asarray(state["u"]) - 1.0)) < 1e-12
     assert np.max(np.abs(np.asarray(state["v"]))) < 1e-12
+
+
+def test_chunked_run_matches_per_step(monkeypatch, tmp_path):
+    """run()'s chunked dispatch (fori_loop over step_fn between output
+    boundaries) is bit-identical to the per-step loop: same traced step
+    body, so XLA executes the same program per iteration."""
+    from x3d2_tpu.cases import TGVCase
+
+    mesh = Mesh((16, 16, 16), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3)
+
+    def final(chunk_env):
+        monkeypatch.setenv("X3D2_CHUNK", chunk_env)
+        case = TGVCase(mesh, params, dtype=jnp.float64,
+                       monitor_path=None, verbose=False)
+        # n_output=3 exercises mid-run boundaries and a partial tail
+        state = case.run(n_iters=7, state=case.initial_state(),
+                         n_output=3)
+        assert int(state["istep"]) == 8
+        return np.asarray(state["u"]), np.asarray(state["v"])
+
+    u1, v1 = final("1")
+    u0, v0 = final("0")
+    np.testing.assert_array_equal(u1, u0)
+    np.testing.assert_array_equal(v1, v0)

@@ -84,3 +84,20 @@ def test_slab_projection_removes_divergence():
     div = float(jnp.max(jnp.abs(ns.divergence_v2p(uc, vc, wc))))
     # residual bounded by the bf16x3 matmul noise (~1e-5 relative)
     assert div < 2e-4 * div0, f"residual div {div:.2e} vs initial {div0:.2e}"
+
+
+def test_mid_no_q_matches_mid():
+    """The no-q mid-kernel variant (keep_pressure=False production steps)
+    produces bit-identical gradient slabs to the q-emitting kernel."""
+    ns = _build((PER,) * 3)
+    fns = make_pressure_slab(ns, terms=2, interpret=True)
+    object.__setattr__(ns, "_slab_pressure", fns)
+    u, v, w = _fields(ns, seed=7)
+    full = ns._slab_mid(u, v, w, want_q=True)
+    noq = ns._slab_mid(u, v, w, want_q=False)
+    assert noq[0] is None
+    for a, b, name in zip(full[1:], noq[1:], ("p_zy", "dpdy", "dpdz")):
+        assert jnp.array_equal(a, b), name
+    # and the keep_pressure=False projection returns p=None on this path
+    uc, vc, wc, p = ns.pressure_correction(u, v, w, keep_pressure=False)
+    assert p is None

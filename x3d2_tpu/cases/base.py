@@ -13,6 +13,7 @@ traceable functions of the state; concrete cases override them.
 
 from __future__ import annotations
 
+import os as _os
 import time as _time
 from dataclasses import dataclass
 from typing import Optional
@@ -114,6 +115,34 @@ class BaseCase:
         self.monitor = Monitor(self.solver, path=monitor_path,
                                verbose=verbose)
         self._step = jax.jit(self.step_fn, donate_argnums=0)
+        # k steps chained in ONE dispatch (run() uses this between output
+        # boundaries): saves the per-step host->device dispatch latency
+        # (~1 ms/step at 512^3 through the axon relay). The fori body
+        # unrolls `nolds` steps: the AB olds rotation permutes buffer
+        # roles across carry positions, which a while loop pins — a
+        # 1-step body forces XLA to insert full-field copies at the
+        # backedge (measured 3.3 ms/step at 512^3); after nolds steps
+        # every olds position holds an in-body-produced buffer again.
+        self._chunk_period = max(
+            1, self.ti.nolds if self.ti.kind == "AB" else 1)
+
+        def _chunk_fn(state, k):
+            m = self._chunk_period
+            full, rem = divmod(k, m)
+
+            def body(i, s):
+                for _ in range(m):
+                    s = self.step_fn(s)
+                return s
+
+            if full:
+                state = jax.lax.fori_loop(0, full, body, state)
+            for _ in range(rem):
+                state = self.step_fn(state)
+            return state
+
+        self._chunk = jax.jit(_chunk_fn, donate_argnums=0,
+                              static_argnums=1)
 
     # ------------------------------------------------------------------
     # hooks (overridden by concrete cases)
@@ -280,6 +309,10 @@ class BaseCase:
             if "olds" in state:
                 new["olds"] = state["olds"]
 
+        if p is None:
+            # keep_pressure=False slab path skips the spectral-q write;
+            # carry the previous (diagnostic-only) pressure state through
+            p = state["p"]
         new.update({"u": fields[0], "v": fields[1], "w": fields[2],
                     "p": p, "istep": istep + 1, "key": key})
         if nsp:
@@ -313,8 +346,27 @@ class BaseCase:
         t0 = _time.perf_counter()
         t_rep = t0
         start = int(state["istep"])
-        for it in range(start, start + n_iters):
-            state = self._step(state)
+        # Without an io_manager the only host-side work is the every-
+        # n_output postprocess, so the steps between boundaries chain
+        # into one dispatch (self._chunk). With an io_manager, stats/IO
+        # cadences need the state every step: per-step dispatch.
+        chunked = (io_manager is None
+                   and _os.environ.get("X3D2_CHUNK", "1") != "0")
+        it = start
+        end = start + n_iters
+        while it < end:
+            if chunked:
+                # run through the next output boundary (the iteration
+                # with it % n_output == 0, postprocessed below), capped
+                # at the final iteration
+                k = 1 if it % n_output == 0 \
+                    else n_output - it % n_output + 1
+                k = min(k, end - it)
+                state = self._chunk(state, k) if k > 1 else \
+                    self._step(state)
+                it += k - 1
+            else:
+                state = self._step(state)
             t = it * self.dt
             if io_manager is not None:
                 io_manager.update_stats(state, it)
@@ -330,6 +382,7 @@ class BaseCase:
                     t_rep = now
             if io_manager is not None:
                 io_manager.handle_io_step(state, it, t)
+            it += 1
         jax.block_until_ready(state["u"])
         elapsed = _time.perf_counter() - t0
         if io_manager is not None:

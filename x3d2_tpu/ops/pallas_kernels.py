@@ -32,6 +32,7 @@ Design points (vs the v1 kernel in pallas_transeq.py):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_transeq import VMEM_LIMIT, banded_blocks
 
 _BF = jnp.bfloat16
+
+
+def _cparams(ngrid):
+    """Compiler params for an all-independent-blocks grid. X3D2_DIMSEM=1
+    marks every grid dim `parallel` (A/B experiment vs the `arbitrary`
+    default, which serialises grid iterations in Mosaic's pipeliner)."""
+    if os.environ.get("X3D2_DIMSEM", "0") == "1":
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT.vmem_limit_bytes,
+            dimension_semantics=("parallel",) * ngrid)
+    return VMEM_LIMIT
 
 
 def split_hi_lo(M: np.ndarray, terms: int = 2):
@@ -439,7 +451,7 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
-            compiler_params=VMEM_LIMIT,
+            compiler_params=_cparams(3),
         )(*args)
         if ab_olds:
             return tuple(outs[:3]), tuple(outs[3:])
@@ -577,7 +589,7 @@ def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
-            compiler_params=VMEM_LIMIT,
+            compiler_params=_cparams(2),
         )(*args)
 
     return fn

@@ -343,22 +343,28 @@ def _grad_kernel(*refs, terms, nvy, nvz, banded_y, nb=0, bs=0, w=0,
 
 
 def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, nb, bs, w,
-                         bfly=False, bfz=False):
-    """k1 and k2 merged: du,dv,dw -> q, p_zy, dpdy, dpdz with the
+                         bfly=False, bfz=False, emit_q=True):
+    """k1 and k2 merged: du,dv,dw -> [q,] p_zy, dpdy, dpdz with the
     spectral solution q never leaving VMEM between the stages (saves its
-    HBM round-trip; enabled by the raised VMEM_LIMIT). q is still an
-    output — it is the carried pressure state (and feeds the physical-p
-    reconstruction under keep_pressure)."""
+    HBM round-trip; enabled by the raised VMEM_LIMIT). With emit_q, q is
+    also an output — the carried pressure state feeding the physical-p
+    reconstruction under keep_pressure; without it (keep_pressure=False
+    production steps) its HBM write is skipped entirely."""
     du_ref, dv_ref, dw_ref = refs[:3]
     n1 = _n_mats1(terms, banded_y, bfly, bfz)
     n2 = _n_mats2(terms, banded_y, bfly, bfz)
     m1 = refs[3:3 + n1]
     m2 = refs[3 + n1:3 + n1 + n2]
     tabs = refs[3 + n1 + n2:3 + n1 + n2 + 6]
-    q_ref, pzy_ref, dpdy_ref, dpdz_ref = refs[3 + n1 + n2 + 6:]
+    outs = refs[3 + n1 + n2 + 6:]
+    if emit_q:
+        q_ref, pzy_ref, dpdy_ref, dpdz_ref = outs
+    else:
+        pzy_ref, dpdy_ref, dpdz_ref = outs
     q = _div_solve_body(du_ref[0], dv_ref[0], dw_ref[0], m1, tabs,
                         terms, banded_y, nb, bs, w, bfly, bfz)
-    q_ref[0] = q.astype(q_ref.dtype)
+    if emit_q:
+        q_ref[0] = q.astype(q_ref.dtype)
     p_zy, dpdy, dpdz = _grad_body(q, m2, terms, banded_y, nvy, nvz,
                                   nb, bs, w, bfly, bfz)
     pzy_ref[0] = p_zy.astype(pzy_ref.dtype)
@@ -615,6 +621,21 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             interpret=interpret,
             compiler_params=VMEM_LIMIT,
         )(du, dv, dw, *m1, *m2, *tables)
+
+    kmid_nq = functools.partial(kmid, emit_q=False)
+
+    def mid_nq_fn(du, dv, dw):
+        """mid_fn without the q output: the spectral solution's 4-byte/pt
+        HBM write is dropped (keep_pressure=False steps never read it)."""
+        return pl.pallas_call(
+            kmid_nq, grid=grid, in_specs=kmid_specs,
+            out_specs=[vert_plane] * 3,
+            out_shape=[jax.ShapeDtypeStruct((nx, nvy, nvz), du.dtype)] * 3,
+            interpret=interpret,
+            compiler_params=VMEM_LIMIT,
+        )(du, dv, dw, *m1, *m2, *tables)
+
+    mid_fn.no_q = mid_nq_fn
 
     def make_mid_local(nx_loc):
         """Mid-kernel variant for the repencilled sharded projection:

@@ -446,15 +446,18 @@ class NavierStokes:
             p = q
         return dpdx, dpdy, dpdz, p
 
-    def _slab_mid(self, u, v, w):
+    def _slab_mid(self, u, v, w, want_q=True):
         """x-stage divergence + slab kernels: everything of the
         projection except the gradient x stage (ops/pallas_poisson.py).
-        Uses the merged k1+k2 kernel (q never leaves VMEM)."""
+        Uses the merged k1+k2 kernel (q never leaves VMEM); with
+        want_q=False the no-q variant also skips q's HBM write."""
         slab = self._slab_pressure
         xk = slab[2]
         du = xk["sx"](u)
         dv = xk["ix"](v)
         dw = xk["ix"](w)
+        if not want_q and hasattr(slab[3], "no_q"):
+            return (None,) + tuple(slab[3].no_q(du, dv, dw))
         return slab[3](du, dv, dw)
 
     def pressure_correction(self, u, v, w, keep_pressure=True):
@@ -470,11 +473,14 @@ class NavierStokes:
         if (slab is not None and not getattr(self, "_halo_mode", False)
                 and self.poisson.stretch_solver is None):
             # velocity correction fused into the gradient x-stage kernels
-            q, p_zy, dpdy_s, dpdz_s = self._slab_mid(u, v, w)
+            q, p_zy, dpdy_s, dpdz_s = self._slab_mid(
+                u, v, w, want_q=keep_pressure)
             xk = slab[2]
             un = xk["gx_s_sub"](p_zy, u)
             vn = xk["gx_i_sub"](dpdy_s, v)
             wn = xk["gx_i_sub"](dpdz_s, w)
+            # q is None when not kept: the caller carries its previous
+            # pressure state (p is diagnostic — never a step input)
             p = q
             if keep_pressure:
                 for a in range(3):
