@@ -59,3 +59,56 @@ def test_fused_ab_matches_separate(order):
     for k in ("u", "v", "w"):
         err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
         assert err < 1e-5, f"{k}: {err:.2e}"
+
+
+def test_fused_ab_xdiv_chain():
+    """The AB+xdiv pencil chain (final sweep emits the projection's
+    x-transformed divergence inputs) matches the plain fused-AB chain on
+    velocities/rhs, and its div outputs match a f64 parity-split apply
+    of its own updated velocities."""
+    import jax
+    from x3d2_tpu.ops.pallas_poisson import parity_split_folded
+
+    ca = _case("AB3")
+    shape = SHAPE
+    nu = ca.solver.nu
+    d64 = ca.solver._fp_mats64()
+    f_plain = make_fused_transeq_ab_v3(ca.solver.ops, nu, shape,
+                                       nolds=2, interpret=True)
+    f_x = make_fused_transeq_ab_v3(ca.solver.ops, nu, shape, nolds=2,
+                                   interpret=True,
+                                   xdiv=(d64["sx"], d64["ix"]))
+    st = ca.initial_state()
+    u, v, w = st["u"], st["v"], st["w"]
+    key = jax.random.PRNGKey(0)
+    olds = tuple(
+        tuple(0.1 * jax.random.normal(jax.random.fold_in(key, 10 * c + j),
+                                      shape, jnp.float32)
+              for j in range(2))
+        for c in range(3))
+    dtc = jnp.asarray([1e-3, -5e-4, 2e-4], jnp.float32)
+    (ua, va, wa), rhs_a = f_plain(u, v, w, olds, dtc)
+    (ux, vx, wx), rhs_x, divs = f_x(u, v, w, olds, dtc)
+    for a, b, nm in ((ua, ux, "u"), (va, vx, "v"), (wa, wx, "w"),
+                     (rhs_a[0], rhs_x[0], "rhs_u"),
+                     (rhs_a[2], rhs_x[2], "rhs_w")):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 2e-5 * scale, f"{nm}: {err:.2e} vs {scale:.2e}"
+    # div outputs: block-parity-ordered forward transforms of u',v',w'
+    h = shape[0] // 2
+    sl = (slice(None), slice(0, 4), slice(None))  # thin y slab, f64 cost
+    for M64, fld, dv, nm in ((d64["sx"], ux, divs[0], "du"),
+                             (d64["ix"], vx, divs[1], "dv"),
+                             (d64["ix"], wx, divs[2], "dw")):
+        Me, Mo = parity_split_folded(np.asarray(M64, np.float64), 0)
+        F = np.asarray(fld, np.float64)[sl]
+        exp = np.concatenate([
+            np.einsum("ab,byz->ayz", Me, F[:h] + F[h:]),
+            np.einsum("ab,byz->ayz", Mo, F[:h] - F[h:])], axis=0)
+        got = np.asarray(dv, np.float64)[sl]
+        scale = np.abs(exp).max() + 1e-30
+        err = np.abs(exp - got).max()
+        # bf16x3 noise on the large-row-norm transform-folded derivative
+        # matrices (~1e-4 rel; same bound as the slab-kernel tests)
+        assert err < 2e-4 * scale, f"{nm}: {err:.2e} vs {scale:.2e}"

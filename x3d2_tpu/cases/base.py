@@ -109,9 +109,35 @@ class BaseCase:
             from ..ops.compact import PRECISION
             from ..ops.pallas_kernels import make_fused_transeq_ab_v3
             terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
-            self._fused_ab = make_fused_transeq_ab_v3(
-                self.solver.ops, self.solver.nu, mesh.dims(DataLoc.VERT),
-                self.ti.nolds, terms=terms)
+            dims = mesh.dims(DataLoc.VERT)
+            slab = getattr(self.solver, "_slab_pressure", None)
+            if (slab is not None and slab[3].x_perm is not None
+                    and type(self).apply_bc is BaseCase.apply_bc
+                    and type(self).body is BaseCase.body
+                    and not self.params.compensated
+                    and max(dims) <= 256
+                    and _os.environ.get("X3D2_XDIV_FUSED", "1") != "0"):
+                # final sweep also emits the projection's x-transformed
+                # divergence inputs (block-parity basis matching the
+                # slab x-apply kernels); valid only when no hook can
+                # modify the velocities between AB update and projection.
+                # Size-gated by measurement: 256^3 8.53 vs 9.08 ms/step,
+                # but 512^3 REGRESSES 66.3 -> 74.9 (the added transform
+                # dots + scratch traffic stop hiding under the sweep
+                # DMA; confirmed not the scratch RMW via a no-read
+                # diagnostic)
+                d64 = self.solver._fp_mats64()
+                try:
+                    self._fused_ab = make_fused_transeq_ab_v3(
+                        self.solver.ops, self.solver.nu, dims,
+                        self.ti.nolds, terms=terms,
+                        xdiv=(d64["sx"], d64["ix"]))
+                except ValueError:
+                    pass
+            if self._fused_ab is None:
+                self._fused_ab = make_fused_transeq_ab_v3(
+                    self.solver.ops, self.solver.nu, dims,
+                    self.ti.nolds, terms=terms)
         self.monitor = Monitor(self.solver, path=monitor_path,
                                verbose=verbose)
         self._step = jax.jit(self.step_fn, donate_argnums=0)
@@ -218,10 +244,14 @@ class BaseCase:
             rhs = rhs + (jnp.stack(drhs),)
         return self.forcings(rhs, fields, istep)
 
-    def _substage_post(self, fields, bc_data, gdt, istep, comp=None):
+    def _substage_post(self, fields, bc_data, gdt, istep, comp=None,
+                       divs=None):
         """apply_BC -> IBM -> pressure_correction, one substage tail.
         With `comp`, the velocity correction u -= grad(p) accumulates
-        through the Kahan compensation carried in the state."""
+        through the Kahan compensation carried in the state. `divs`
+        carries x-transformed divergence inputs pre-computed by the
+        fused AB+xdiv sweep (only passed when apply_bc/body are the
+        identity, so they cannot go stale)."""
         pre = fields
         fields = self.apply_bc(fields, bc_data, gdt, istep)
         fields = self.body(fields)
@@ -236,7 +266,7 @@ class BaseCase:
             ) + tuple(comp[3:])
         if comp is None:
             u, v, w, p = self.solver.pressure_correction(
-                *fields[:3], keep_pressure=self.keep_pressure)
+                *fields[:3], keep_pressure=self.keep_pressure, divs=divs)
             return (u, v, w) + tuple(fields[3:]), p, None
         from ..time_integrators import kahan_add
         dpdx, dpdy, dpdz, p = self.solver.pressure_grads(
@@ -284,11 +314,17 @@ class BaseCase:
             from ..time_integrators import AB_COEFFS
             nstep = jnp.minimum(istep, self.ti.order)
             dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
-            fields, rhs = self._fused_ab(*fields[:3], state["olds"], dtc)
+            out = self._fused_ab(*fields[:3], state["olds"], dtc)
+            divs = None
+            if len(out) == 3:  # AB+xdiv pencil chain
+                fields, rhs, divs = out
+            else:
+                fields, rhs = out
             olds = tuple((r,) + o[:-1]
                          for r, o in zip(rhs, state["olds"]))
             fields, p, _ = self._substage_post(fields, bc_data,
-                                               self.ti.gdt(dt, 0), istep)
+                                               self.ti.gdt(dt, 0), istep,
+                                               divs=divs)
             new = {"olds": olds}
         else:  # RK
             fields0 = None

@@ -170,15 +170,29 @@ def _stack_banded(op_pair, w, bs):
 
 
 def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
-                       terms=2, ab_olds=0, halo_ext=False):
+                       terms=2, ab_olds=0, halo_ext=False, xdiv=False,
+                       nbh=0):
     """refs layout: [acc_u, acc_v, acc_w]? + nstream blocks per field * 3
     + [old_{j,c} blocks]* + 4*terms matrix refs (sa, st, da, dt split
-    parts) + [shard block offset]? + [ab coeffs]? + outputs (3, or 6 when
-    AB-fused: u',v',w' followed by the rhs fields that become olds[0]).
+    parts) + [xdiv parity transform parts (sx Me,Mo then ix Me,Mo)]?
+    + [shard block offset]? + [ab coeffs]? + outputs (3, or 6 when
+    AB-fused: u',v',w' followed by the rhs fields that become olds[0],
+    or 9 with xdiv: + the projection's x-transformed du,dv,dw).
 
     With halo_ext, the l/r stream blocks come from a halo-extended shard
     (no wraparound) and the matrix stacks hold the GLOBAL banded blocks,
-    indexed at b + shard offset (read from SMEM)."""
+    indexed at b + shard offset (read from SMEM).
+
+    With xdiv (axis 0, AB-fused final sweep), the kernel ALSO emits the
+    projection's forward x transforms of the updated velocities in the
+    block-parity basis of make_x_apply(parity='fwd'): each x block b of
+    u' contributes Me[:, cols(b)] @ u'_b to the even modes and
+    +/- Mo[:, cols(b)] @ u'_b to the odd modes (sign by input half),
+    accumulated K-blocked in VMEM scratch and written once — the three
+    x-stage divergence kernels and their full-field re-reads vanish.
+    MEASURED: wins at 256^3 (8.53 vs 9.08 ms/step), LOSES at 512^3
+    (74.9 vs 66.3: the per-grid-step transform dots and scratch traffic
+    stop hiding under the sweep's DMA), so callers gate it by size."""
     i = 0
     accs = None
     if accumulate:
@@ -194,6 +208,10 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
     nm = 4 * nparts
     mat_refs = refs[i:i + nm]
     i += nm
+    xm = None
+    if xdiv:
+        xm = refs[i:i + 4 * nparts]
+        i += 4 * nparts
     off_ref = None
     if halo_ext:
         off_ref = refs[i]
@@ -203,6 +221,11 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         co_ref = refs[i]
         i += 1
     outs = refs[i:]
+    scratch = None
+    if xdiv:
+        # scratch_shapes refs arrive after the outputs
+        scratch = outs[-3:]
+        outs = outs[:-3]
     b = pl.program_id(2)
     if halo_ext:
         b = b + off_ref[0]
@@ -264,13 +287,52 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
             for j in range(ab_olds):
                 unew = unew + co_ref[0, 1 + j] * olds[3 * j + c][...]
             outs[c][...] = unew.astype(outs[c].dtype)
+            if xdiv:
+                # K-blocked partial transform of this u' block into the
+                # div output (sx for u, ix for v/w). The parity mats
+                # ride TRANSPOSED so the per-block column window is a
+                # sublane-dim dynamic slice (bs=64 is provably
+                # 8-aligned; lane-dim slices need 128). Accumulation
+                # runs in VMEM scratch; the b-revisited output block is
+                # written ONCE on the last b (a kernel that READS its
+                # output forces Mosaic to fetch it per (i, j) tile).
+                Me = xm[:nparts] if c == 0 else xm[2 * nparts:3 * nparts]
+                Mo = (xm[nparts:2 * nparts] if c == 0
+                      else xm[3 * nparts:4 * nparts])
+                cs = (b % nbh) * bs
+                MeS = tuple(m[pl.ds(cs, bs), :] for m in Me)
+                MoS = tuple(m[pl.ds(cs, bs), :] for m in Mo)
+                sh = unew.shape
+                us = tuple(p.reshape(bs, -1)
+                           for p in _split(unew, terms))
+                dn_t = (((0,), (0,)), ((), ()))  # M^T-slice @ flat
+                E = _dot_split(MeS, us, dn_t, prec)
+                O = _dot_split(MoS, us, dn_t, prec)
+                sgn = jnp.where(b < nbh, 1.0, -1.0).astype(E.dtype)
+                part = jnp.concatenate([E, sgn * O], axis=0)
+                part = part.reshape((2 * E.shape[0],) + sh[1:])
+                sref = scratch[c]
+                dref = outs[6 + c]
+
+                @pl.when(pl.program_id(2) == 0)
+                def _():
+                    sref[...] = part
+
+                @pl.when(pl.program_id(2) > 0)
+                def _():
+                    sref[...] = sref[...] + part
+
+                @pl.when(pl.program_id(2) == 2 * nbh - 1)
+                def _():
+                    dref[...] = sref[...].astype(dref.dtype)
         else:
             outs[c][...] = r.astype(outs[c].dtype)
 
 
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
-                        terms=2, ab_olds=0, n_shards=1, ab_alias=True):
+                        terms=2, ab_olds=0, n_shards=1, ab_alias=True,
+                        xdiv_mats=None):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
 
     Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
@@ -322,6 +384,26 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     mats = []
     for M in (sa, st, da, dt):
         mats += [jnp.asarray(p) for p in split_hi_lo(M, terms)]
+
+    xdiv = xdiv_mats is not None
+    xmats = []
+    if xdiv:
+        # parity-split forward transforms (sx for u, ix for v/w), kept
+        # fully VMEM-resident; TRANSPOSED so the kernel slices the
+        # sublane dim (see _transeq_kernel_v3 xdiv)
+        from .pallas_poisson import parity_split_folded
+        if axis != 0 or not ab_olds or halo_ext:
+            raise ValueError("xdiv fusion needs the single-shard "
+                             "AB-fused axis-0 sweep")
+        if n % (2 * bs):
+            raise ValueError("xdiv fusion needs an even block count")
+        for M64 in xdiv_mats:
+            if M64.shape != (n, n):
+                raise ValueError("xdiv transforms must be (n, n)")
+            Me, Mo = parity_split_folded(np.asarray(M64, np.float64), 0)
+            for Mp in (Me, Mo):
+                xmats += [jnp.asarray(p)
+                          for p in split_hi_lo(Mp.T, terms)]
 
     other = [a for a in range(3) if a != axis]
     if free is None:
@@ -396,16 +478,20 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     kern = functools.partial(_transeq_kernel_v3, axis=axis, nu=float(nu),
                              w=w, bs=bs, nstream=nstream,
                              accumulate=accumulate, terms=terms,
-                             ab_olds=ab_olds, halo_ext=halo_ext)
+                             ab_olds=ab_olds, halo_ext=halo_ext,
+                             xdiv=xdiv, nbh=nb // 2)
 
     nparts = max(terms, 1)
+    xspec = pl.BlockSpec((n // 2, n // 2), lambda i, j, b: (0, 0),
+                         memory_space=pltpu.VMEM)
     in_specs = ([out_spec] * 3 if accumulate else []) \
         + fspecs * 3 + [out_spec] * (3 * ab_olds) \
-        + [sspec] * (2 * nparts) + [dspec] * (2 * nparts)
+        + [sspec] * (2 * nparts) + [dspec] * (2 * nparts) \
+        + [xspec] * len(xmats)
     if halo_ext:
         in_specs = in_specs + [pl.BlockSpec((1,), lambda i, j, b: (0,),
                                             memory_space=pltpu.SMEM)]
-    n_out = 6 if ab_olds else 3
+    n_out = (9 if xdiv else 6) if ab_olds else 3
     if ab_olds:
         in_specs = in_specs + [pl.BlockSpec((1, 4), lambda i, j, b: (0, 0),
                                             memory_space=pltpu.SMEM)]
@@ -437,22 +523,33 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         if ab_olds:
             # olds: per-field (nolds,) history tuples -> flat j-major
             args += [olds[c][j] for j in range(ab_olds) for c in range(3)]
-        args += mats
+        args += mats + xmats
         if halo_ext:
             args += [jnp.reshape(off, (1,)).astype(jnp.int32)]
         if ab_olds:
             args += [jnp.reshape(dtc, (1, -1)).astype(u.dtype)]
         out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * n_out
+        # xdiv: b-revisited full-extent div output blocks (written once)
+        out_specs = [out_spec] * min(n_out, 6) \
+            + [pl.BlockSpec(blk_of(n), map_of(lambda b: 0),
+                            memory_space=pltpu.VMEM)] * (n_out - 6)
         outs = pl.pallas_call(
             kern,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[out_spec] * n_out,
+            out_specs=out_specs,
             out_shape=out_shape,
             input_output_aliases=aliases,
+            scratch_shapes=([pltpu.VMEM(blk_of(n), jnp.float32)] * 3
+                            if xdiv else []),
             interpret=interpret,
-            compiler_params=_cparams(3),
+            # the xdiv scratch accumulators push the kernel past the
+            # 64 MB scoped cap at 512^3 (66.2 MB; chip takes ~72)
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=70 * 2**20) if xdiv else _cparams(3)),
         )(*args)
+        if xdiv:
+            return tuple(outs[:3]), tuple(outs[3:6]), tuple(outs[6:9])
         if ab_olds:
             return tuple(outs[:3]), tuple(outs[3:])
         return outs
@@ -640,7 +737,7 @@ def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
 
 
 def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
-                             interpret=False, terms=2):
+                             interpret=False, terms=2, xdiv=None):
     """Transeq + Adams-Bashforth update in one fused chain:
     fn(u, v, w, olds, dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)).
 
@@ -650,10 +747,33 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     6 extra in-kernel block reads and 3 writes. `olds` is the per-field
     history tuple structure of ab_step; `dtc` the dt-scaled coefficient
     row (traced, so AB startup steps reuse the same program). The rhs
-    outputs are the new olds[0]; rotation stays a tuple reshuffle."""
+    outputs are the new olds[0]; rotation stays a tuple reshuffle.
+
+    With xdiv=(sx64, ix64) (the projection's transform-folded x-stage
+    divergence matrices, periodic-even x) the chain reorders to
+    d2 -> d1 -> d0 with the FINAL sweep the AB-fused axis-0 windowed
+    sweep, which ALSO emits the x-transformed divergence inputs
+    (see _transeq_kernel_v3 xdiv): fn(...) -> ((u', v', w'), rhs,
+    (du, dv, dw)), and the projection's three x-div kernels (and their
+    full-field re-reads) vanish. Raises ValueError when the shapes or
+    the parity symmetry do not allow it."""
     cfgs = cfgs or {}
     d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
                      cfgs.get(2, {}))
+    if xdiv is not None:
+        d0x = make_transeq_dir_v3(solver_ops[0], nu, 0, shape,
+                                  terms=terms, accumulate=True,
+                                  ab_olds=nolds, interpret=interpret,
+                                  xdiv_mats=xdiv, **cfgs.get(0, {}))
+        d1p = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
+                          cfgs.get(1, {}), accumulate=True)
+
+        def fnx(u, v, w, olds, dtc):
+            acc = d2(u, v, w)
+            acc = d1p(u, v, w, acc=acc)
+            return d0x(u, v, w, acc=acc, olds=olds, dtc=dtc)
+
+        return fnx
     d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
                      cfgs.get(0, {}), accumulate=True)
     d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,

@@ -446,24 +446,31 @@ class NavierStokes:
             p = q
         return dpdx, dpdy, dpdz, p
 
-    def _slab_mid(self, u, v, w, want_q=True):
+    def _slab_mid(self, u, v, w, want_q=True, divs=None):
         """x-stage divergence + slab kernels: everything of the
         projection except the gradient x stage (ops/pallas_poisson.py).
         Uses the merged k1+k2 kernel (q never leaves VMEM); with
-        want_q=False the no-q variant also skips q's HBM write."""
+        want_q=False the no-q variant also skips q's HBM write. `divs`
+        supplies pre-transformed divergence inputs (the fused AB+xdiv
+        sweep) so the three x-stage kernels are skipped."""
         slab = self._slab_pressure
         xk = slab[2]
-        du = xk["sx"](u)
-        dv = xk["ix"](v)
-        dw = xk["ix"](w)
+        if divs is not None:
+            du, dv, dw = divs
+        else:
+            du = xk["sx"](u)
+            dv = xk["ix"](v)
+            dw = xk["ix"](w)
         if not want_q and hasattr(slab[3], "no_q"):
             return (None,) + tuple(slab[3].no_q(du, dv, dw))
         return slab[3](du, dv, dw)
 
-    def pressure_correction(self, u, v, w, keep_pressure=True):
+    def pressure_correction(self, u, v, w, keep_pressure=True, divs=None):
         """Fractional-step projection (solver.f90:693-739): returns the
         divergence-free velocity and the pseudo-pressure field (CELL grid,
-        scaled by dt like the reference; rescale p/dt only for output)."""
+        scaled by dt like the reference; rescale p/dt only for output).
+        `divs`: pre-transformed divergence inputs from the fused AB+xdiv
+        sweep (slab path only)."""
         rp = getattr(self, "_repencil_pressure", None)
         if rp is not None:
             # sharded: repencilled slab projection (2DECOMP analogue,
@@ -474,7 +481,7 @@ class NavierStokes:
                 and self.poisson.stretch_solver is None):
             # velocity correction fused into the gradient x-stage kernels
             q, p_zy, dpdy_s, dpdz_s = self._slab_mid(
-                u, v, w, want_q=keep_pressure)
+                u, v, w, want_q=keep_pressure, divs=divs)
             xk = slab[2]
             un = xk["gx_s_sub"](p_zy, u)
             vn = xk["gx_i_sub"](dpdy_s, v)
