@@ -236,12 +236,8 @@ class BaseCase:
         u, v, w = fields[:3]
         rhs = self.solver.transeq(u, v, w)
         if self.params.n_species:
-            phi = fields[3]
-            drhs = []
-            for i in range(self.params.n_species):
-                drhs.append(self.solver.transeq_species(
-                    phi[i], u, v, w, self.solver.nu_species[i]))
-            rhs = rhs + (jnp.stack(drhs),)
+            rhs = rhs + (self.solver.transeq_species_all(
+                fields[3], u, v, w),)
         return self.forcings(rhs, fields, istep)
 
     def _substage_post(self, fields, bc_data, gdt, istep, comp=None,

@@ -813,3 +813,218 @@ def transeq_v3_supported(solver, shape) -> bool:
         except ValueError:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Species (scalar transport) v3 sweeps.
+#
+# Reference transeq_species (solver.f90:507-601, omp/backend.f90:226-231):
+# every species' RHS along a direction uses the ALIGNED operator pairing
+# (der1st for dphi, der1st_sym for d(phi*conv), der2nd for d2phi) against
+# the axis-aligned velocity component. One kernel handles ALL species per
+# direction so the conv window is read from HBM once, and the accumulator
+# aliasing chains the three direction sweeps with no extra passes — the
+# einsum path costs 9 dense applies per species per step.
+# ---------------------------------------------------------------------------
+
+
+def _species_kernel_v3(*refs, axis, nus, w, bs, nstream, accumulate,
+                       terms):
+    """refs: [acc_s]*nsp? + conv stream blocks + per-species phi stream
+    blocks + matrix refs (nparts stacked-(d1,d2) parts + nparts banded
+    d1s parts) + nsp outputs. `nus` (per-species diffusivities) are
+    baked Python floats — the species loop is unrolled."""
+    nsp = len(nus)
+    i = 0
+    accs = None
+    if accumulate:
+        accs = refs[:nsp]
+        i = nsp
+    conv_parts = refs[i:i + nstream]
+    i += nstream
+    phis = []
+    for _ in range(nsp):
+        phis.append(refs[i:i + nstream])
+        i += nstream
+    nparts = max(terms, 1)
+    mat_refs = refs[i:i + 2 * nparts]
+    i += 2 * nparts
+    outs = refs[i:]
+    b = pl.program_id(2)
+
+    def window(parts):
+        if nstream == 2:
+            a_ref, b_ref = parts
+            sl = [slice(None)] * 3
+            sl[axis] = slice(0, 2 * w)
+            return jnp.concatenate([a_ref[...], b_ref[tuple(sl)]],
+                                   axis=axis), None
+        l_ref, m_ref, r_ref = parts
+        mid = m_ref[...]
+        return jnp.concatenate([l_ref[...], mid, r_ref[...]],
+                               axis=axis), mid
+
+    convw, convmid = window(conv_parts)
+    if nstream == 2:
+        sl = [slice(None)] * 3
+        sl[axis] = slice(w, w + bs)
+        conv = convw[tuple(sl)]
+    else:
+        conv = convmid
+    sa = tuple(m[b] for m in mat_refs[:nparts])
+    ds = tuple(m[b] for m in mat_refs[nparts:])
+    prec = (jax.lax.Precision.HIGHEST if terms == 0
+            else jax.lax.Precision.DEFAULT)
+    sl1 = [slice(None)] * 3
+    sl1[axis] = slice(0, bs)
+    sl2 = [slice(None)] * 3
+    sl2[axis] = slice(bs, 2 * bs)
+    for s in range(nsp):
+        q, _ = window(phis[s])
+        qs = _split(q, terms)
+        ps = _split(q * convw, terms)
+        stacked = _contract_split(sa, qs, axis, prec)
+        dq = stacked[tuple(sl1)]
+        d2q = stacked[tuple(sl2)]
+        dqd = _contract_split(ds, ps, axis, prec)
+        r = -0.5 * (conv * dq + dqd) + nus[s] * d2q
+        if accumulate:
+            r = r + accs[s][...]
+        outs[s][...] = r.astype(outs[s].dtype)
+
+
+def make_species_dir_v3(ops_axis, nus, axis, shape, w=None, bs=None,
+                        free=None, accumulate=False, interpret=False,
+                        terms=2):
+    """One species direction sweep: fn(phis, conv[, acc]) -> rhs tuple.
+    `phis` is a tuple of (nx,ny,nz) scalar fields, `conv` the velocity
+    component aligned with `axis`. Same tiling/stream layout as
+    make_transeq_dir_v3 (single-shard only)."""
+    n = shape[axis]
+    lane = axis == 2
+    nsp = len(nus)
+    if not nsp:
+        raise ValueError("no species")
+    if nsp > 8:
+        raise ValueError("species kernel capped at 8 per call (VMEM)")
+    if bs is None:
+        bs = 128 if lane else 64
+    if w is None:
+        w = 64 if lane else (32 if terms >= 3 else 16)
+    nstream = 2 if lane else 3
+    if lane and 2 * w > bs:
+        raise ValueError("lane axis needs w <= bs/2")
+    if not lane and bs % w:
+        raise ValueError("3-stream windows need w | bs")
+    if n % bs or n < bs + 2 * w:
+        raise ValueError(f"n={n} not tileable with bs={bs}, w={w}")
+    nb = n // bs
+
+    d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
+    sa = _stack_banded((d1, ops_axis.der2nd), w, bs)
+    ds = banded_blocks(d1s, w, bs, tol=_BAND_TOL)
+    mats = []
+    for M in (sa, ds):
+        mats += [jnp.asarray(p) for p in split_hi_lo(M, terms)]
+
+    other = [a for a in range(3) if a != axis]
+    if free is None:
+        free = _free_dims(axis)
+    t0, t1 = free
+    if shape[other[0]] % t0 or shape[other[1]] % t1:
+        raise ValueError(f"shape {shape} free dims not tileable")
+
+    def blk_of(extent):
+        blk = [0, 0, 0]
+        blk[axis] = extent
+        blk[other[0]] = t0
+        blk[other[1]] = t1
+        return tuple(blk)
+
+    def map_of(fn_ax):
+        def index_map(i, j, b):
+            idx = [0, 0, 0]
+            idx[axis] = fn_ax(b)
+            idx[other[0]] = i
+            idx[other[1]] = j
+            return tuple(idx)
+        return index_map
+
+    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
+    out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                            memory_space=pltpu.VMEM)
+    if lane:
+        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
+                               memory_space=pltpu.VMEM)]
+    else:
+        r = bs // w
+        nw = n // w
+        fspecs = [
+            pl.BlockSpec(blk_of(w), map_of(lambda b: (b * r - 1) % nw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(w), map_of(lambda b: ((b + 1) * r) % nw),
+                         memory_space=pltpu.VMEM),
+        ]
+    win = bs + 2 * w
+    nparts = max(terms, 1)
+    sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((nb, bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_species_kernel_v3, axis=axis,
+                             nus=tuple(float(x) for x in nus), w=w, bs=bs,
+                             nstream=nstream, accumulate=accumulate,
+                             terms=terms)
+    in_specs = ([out_spec] * nsp if accumulate else []) \
+        + fspecs + fspecs * nsp \
+        + [sspec] * nparts + [dspec] * nparts
+    aliases = {s: s for s in range(nsp)} if accumulate else {}
+
+    def fn(phis, conv, acc=None):
+        if lane:
+            conv = jnp.roll(conv, w, axis=axis)
+            phis = tuple(jnp.roll(q, w, axis=axis) for q in phis)
+        field_args = [conv] * nstream
+        for q in phis:
+            field_args += [q] * nstream
+        args = (list(acc) if accumulate else []) + field_args + mats
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out_spec] * nsp,
+            out_shape=[jax.ShapeDtypeStruct(shape, phis[0].dtype)] * nsp,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            compiler_params=_cparams(3),
+        )(*args)
+        # out_shape is a list, so pallas_call returns a list even for one
+        # species
+        return tuple(outs)
+
+    return fn
+
+
+def make_fused_species_v3(solver_ops, nus, shape, interpret=False,
+                          terms=2):
+    """Full species transeq: three accumulated direction sweeps sharing
+    the conv window reads across species.
+    fn(phis, u, v, w) -> per-species rhs tuple."""
+    d2 = make_species_dir_v3(solver_ops[2], nus, 2, shape, terms=terms,
+                             interpret=interpret)
+    d0 = make_species_dir_v3(solver_ops[0], nus, 0, shape, terms=terms,
+                             accumulate=True, interpret=interpret)
+    d1 = make_species_dir_v3(solver_ops[1], nus, 1, shape, terms=terms,
+                             accumulate=True, interpret=interpret)
+
+    def fn(phis, u, v, w):
+        phis = tuple(phis)
+        acc = d2(phis, w)
+        acc = d0(phis, u, acc=acc)
+        return d1(phis, v, acc=acc)
+
+    return fn

@@ -128,6 +128,18 @@ class NavierStokes:
                 object.__setattr__(ns, "_transeq_v3",
                                    make_fused_transeq_v3(ns.ops, nu, shape,
                                                          terms=terms))
+                if ns.nu_species:
+                    # species sweeps share the conv window reads and
+                    # chain via accumulator aliasing (vs 9 dense einsum
+                    # applies per species per step on the fallback path)
+                    from .ops.pallas_kernels import make_fused_species_v3
+                    try:
+                        object.__setattr__(
+                            ns, "_species_v3",
+                            make_fused_species_v3(ns.ops, ns.nu_species,
+                                                  shape, terms=terms))
+                    except ValueError:
+                        pass
             elif fused_transeq_supported(ns, shape):
                 # v1 dense fused kernel (HIGHEST): non-128-multiple shapes
                 # <= 256 that v3's block sizes cannot tile
@@ -244,6 +256,20 @@ class NavierStokes:
                 phi, comps[axis], axis, o.der1st, o.der1st_sym, o.der2nd,
                 nu_s)
         return rhs
+
+    def transeq_species_all(self, phi, u, v, w):
+        """All-species RHS from a stacked (nsp, nx, ny, nz) field. Uses
+        the v3 species sweeps (one conv-window read shared across
+        species per direction) when built, else the per-species
+        operator path."""
+        nsp = len(self.nu_species)
+        sp = getattr(self, "_species_v3", None)
+        if sp is not None and nsp and nsp <= 8:
+            return jnp.stack(sp(tuple(phi[i] for i in range(nsp)),
+                                u, v, w))
+        return jnp.stack([self.transeq_species(phi[i], u, v, w,
+                                               self.nu_species[i])
+                          for i in range(nsp)])
 
     # ------------------------------------------------------------------
     # vector calculus (reference vector_calculus.f90)
