@@ -129,12 +129,44 @@ def main():
             ns = case.solver
             u, v, w = state["u"], state["v"], state["w"]
             it = max(10, n_iters // 2)
-            ms_tr = chained_ms(lambda a, b, c: ns.transeq(a, b, c),
-                               (u, v, w), it)
-            ms_pr = chained_ms(
-                lambda a, b, c: ns.pressure_correction(
-                    a, b, c, keep_pressure=False)[:3],
-                (u, v, w), it)
+            fa = getattr(case, "_fused_ab", None)
+            divs = None
+            if fa is not None:
+                # time the PRODUCTION chain: fused transeq+AB sweep (the
+                # xdiv variant also emits the projection's x-div inputs),
+                # so ms_glue isn't polluted by the AB update's cost
+                olds = state["olds"]
+                dtc = jnp.asarray([case.dt, 0.0, 0.0, 0.0],
+                                  case.dtype)
+
+                def tr(a, b, c):
+                    out = fa(a, b, c, olds, dtc)
+                    return out[0]
+
+                probe = fa(u, v, w, olds, dtc)
+                if len(probe) == 3:  # xdiv chain: divs come from transeq
+                    divs = jax.block_until_ready(probe[2])
+                result["transeq_phase"] = ("fused_ab_xdiv" if divs
+                                           is not None else "fused_ab")
+            else:
+                tr = ns.transeq
+                result["transeq_phase"] = "transeq"
+            ms_tr = chained_ms(tr, (u, v, w), it)
+            # at xdiv sizes the x-div stages live in the transeq phase;
+            # time the pressure phase the way the step runs it. The divs
+            # must DEPEND on the loop carry (a one-element update keyed
+            # on the carry) or XLA hoists the whole mid kernel out of
+            # the timing loop as loop-invariant.
+            if divs is None:
+                pr = lambda a, b, c: ns.pressure_correction(
+                    a, b, c, keep_pressure=False)[:3]
+            else:
+                def pr(a, b, c):
+                    s = a[0, 0, 0] * 1e-30
+                    dv_i = tuple(d.at[0, 0, 0].add(s) for d in divs)
+                    return ns.pressure_correction(
+                        a, b, c, keep_pressure=False, divs=dv_i)[:3]
+            ms_pr = chained_ms(pr, (u, v, w), it)
             result["ms_transeq"] = round(ms_tr, 2)
             result["ms_pressure"] = round(ms_pr, 2)
             result["ms_glue"] = round(ms_per_step - ms_tr - ms_pr, 2)
