@@ -75,6 +75,46 @@ def test_fused_species_chain(setup):
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
+def test_sharded_species_matches_operator(setup):
+    """Sharded species sweeps (shard_map + ppermute halos, interpret
+    mode) vs the global operator path on the virtual CPU device mesh —
+    like the sharded momentum tests (tests/test_shard_kernels.py)."""
+    from x3d2_tpu.parallel.topo import make_device_mesh
+    from x3d2_tpu.parallel.shard_kernels import make_sharded_species_v3
+    dims = (128, 256, 256)   # local (128, 128, 128) on the 2x2 mesh
+    mesh = Mesh(dims, (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    ns = NavierStokes.build(mesh, 1 / 1600, dtype=jnp.float32,
+                            nu_species=NUS)
+    rng = np.random.default_rng(11)
+    comps = tuple(jnp.asarray(rng.standard_normal(dims), jnp.float32)
+                  for _ in range(3))
+    phis = tuple(jnp.asarray(rng.standard_normal(dims), jnp.float32)
+                 for _ in range(2))
+    dmesh = make_device_mesh(2, 2)
+    fn = make_sharded_species_v3(ns, dmesh, terms=2, interpret=True)
+    outs = jax.jit(lambda p, u, v, w: fn(p, u, v, w))(phis, *comps)
+    refs = _ref_rhs(ns, phis, comps)
+    for s, ref in enumerate(refs):
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        err = float(jnp.max(jnp.abs(outs[s] - ref)))
+        assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
+
+
+def test_sharded_species_rejects_untileable():
+    """Local extents below the window sizes must raise (the sharded-step
+    wiring then falls back to the operator path)."""
+    from x3d2_tpu.parallel.topo import make_device_mesh
+    from x3d2_tpu.parallel.shard_kernels import make_sharded_species_v3
+    mesh = Mesh((64, 64, 128), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    ns = NavierStokes.build(mesh, 1 / 1600, dtype=jnp.float32,
+                            nu_species=NUS)
+    dmesh = make_device_mesh(2, 4)   # nz_loc = 32 < bs
+    with pytest.raises(ValueError):
+        make_sharded_species_v3(ns, dmesh, terms=2, interpret=True)
+
+
 def test_transeq_species_all_dispatch(setup):
     """solver.transeq_species_all falls back to the operator path when
     no kernel is built, and matches it when one is injected."""

@@ -829,11 +829,12 @@ def transeq_v3_supported(solver, shape) -> bool:
 
 
 def _species_kernel_v3(*refs, axis, nus, w, bs, nstream, accumulate,
-                       terms):
+                       terms, halo_ext=False):
     """refs: [acc_s]*nsp? + conv stream blocks + per-species phi stream
     blocks + matrix refs (nparts stacked-(d1,d2) parts + nparts banded
-    d1s parts) + nsp outputs. `nus` (per-species diffusivities) are
-    baked Python floats — the species loop is unrolled."""
+    d1s parts) [+ SMEM shard offset] + nsp outputs. `nus` (per-species
+    diffusivities) are baked Python floats — the species loop is
+    unrolled."""
     nsp = len(nus)
     i = 0
     accs = None
@@ -849,8 +850,16 @@ def _species_kernel_v3(*refs, axis, nus, w, bs, nstream, accumulate,
     nparts = max(terms, 1)
     mat_refs = refs[i:i + 2 * nparts]
     i += 2 * nparts
+    off_ref = None
+    if halo_ext:
+        off_ref = refs[i]
+        i += 1
     outs = refs[i:]
     b = pl.program_id(2)
+    if halo_ext:
+        # matrix stacks hold the GLOBAL banded blocks: index at the
+        # shard's block offset so BC closure rows land on the right shard
+        b = b + off_ref[0]
 
     def window(parts):
         if nstream == 2:
@@ -895,11 +904,13 @@ def _species_kernel_v3(*refs, axis, nus, w, bs, nstream, accumulate,
 
 def make_species_dir_v3(ops_axis, nus, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
-                        terms=2):
+                        terms=2, n_shards=1):
     """One species direction sweep: fn(phis, conv[, acc]) -> rhs tuple.
     `phis` is a tuple of (nx,ny,nz) scalar fields, `conv` the velocity
     component aligned with `axis`. Same tiling/stream layout as
-    make_transeq_dir_v3 (single-shard only)."""
+    make_transeq_dir_v3; with n_shards > 1 the sweep runs in halo-ext
+    mode (fn takes exts=(conv_ext, *phi_exts) and the shard block
+    offset, like the sharded momentum sweeps)."""
     n = shape[axis]
     lane = axis == 2
     nsp = len(nus)
@@ -912,12 +923,18 @@ def make_species_dir_v3(ops_axis, nus, axis, shape, w=None, bs=None,
     if w is None:
         w = 64 if lane else (32 if terms >= 3 else 16)
     nstream = 2 if lane else 3
+    halo_ext = n_shards > 1
     if lane and 2 * w > bs:
         raise ValueError("lane axis needs w <= bs/2")
+    if lane and halo_ext and 2 * w != bs:
+        raise ValueError("sharded lane sweeps need w == bs/2")
     if not lane and bs % w:
         raise ValueError("3-stream windows need w | bs")
-    if n % bs or n < bs + 2 * w:
+    if n % bs or (not halo_ext and n < bs + 2 * w):
         raise ValueError(f"n={n} not tileable with bs={bs}, w={w}")
+    if halo_ext and ops_axis.der1st.n_in != n * n_shards:
+        raise ValueError("local extent * n_shards must match the global "
+                         "operator size")
     nb = n // bs
 
     d1, d1s = ops_axis.der1st, ops_axis.der1st_sym
@@ -953,11 +970,30 @@ def make_species_dir_v3(ops_axis, nus, axis, shape, w=None, bs=None,
     grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
     out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
                             memory_space=pltpu.VMEM)
-    if lane:
+    if lane and halo_ext:
+        # ext = concat(left_halo_w, local, right_halo_w): the window
+        # [b*bs-w, b*bs+bs+w) sits at ext blocks b, b+1 — no wrap
+        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(blk_of(bs), map_of(lambda b: b + 1),
+                               memory_space=pltpu.VMEM)]
+    elif lane:
         fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
                                memory_space=pltpu.VMEM)]
+    elif halo_ext:
+        # l/r stream blocks come from the halo-extended operand (in units
+        # of w planes); the mid block from the plain local shard
+        r = bs // w
+        fspecs = [
+            pl.BlockSpec(blk_of(w), map_of(lambda b: b * r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(w), map_of(lambda b: (b + 1) * r + 1),
+                         memory_space=pltpu.VMEM),
+        ]
     else:
         r = bs // w
         nw = n // w
@@ -971,27 +1007,45 @@ def make_species_dir_v3(ops_axis, nus, axis, shape, w=None, bs=None,
         ]
     win = bs + 2 * w
     nparts = max(terms, 1)
-    sspec = pl.BlockSpec((nb, 2 * bs, win), lambda i, j, b: (0, 0, 0),
+    nb_g = nb * n_shards  # matrix stacks hold the GLOBAL banded blocks
+    sspec = pl.BlockSpec((nb_g, 2 * bs, win), lambda i, j, b: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((nb, bs, win), lambda i, j, b: (0, 0, 0),
+    dspec = pl.BlockSpec((nb_g, bs, win), lambda i, j, b: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_species_kernel_v3, axis=axis,
                              nus=tuple(float(x) for x in nus), w=w, bs=bs,
                              nstream=nstream, accumulate=accumulate,
-                             terms=terms)
+                             terms=terms, halo_ext=halo_ext)
     in_specs = ([out_spec] * nsp if accumulate else []) \
         + fspecs + fspecs * nsp \
         + [sspec] * nparts + [dspec] * nparts
+    if halo_ext:
+        in_specs = in_specs + [pl.BlockSpec((1,), lambda i, j, b: (0,),
+                                            memory_space=pltpu.SMEM)]
     aliases = {s: s for s in range(nsp)} if accumulate else {}
 
-    def fn(phis, conv, acc=None):
-        if lane:
-            conv = jnp.roll(conv, w, axis=axis)
-            phis = tuple(jnp.roll(q, w, axis=axis) for q in phis)
-        field_args = [conv] * nstream
-        for q in phis:
-            field_args += [q] * nstream
+    def fn(phis, conv, acc=None, exts=None, off=None):
+        if halo_ext:
+            # exts = (conv_ext, *phi_exts): l/r streams read the
+            # halo-extended operands
+            if lane:
+                field_args = [exts[0]] * 2
+                for e in exts[1:]:
+                    field_args += [e] * 2
+            else:
+                field_args = [exts[0], conv, exts[0]]
+                for q, e in zip(phis, exts[1:]):
+                    field_args += [e, q, e]
+        else:
+            if lane:
+                conv = jnp.roll(conv, w, axis=axis)
+                phis = tuple(jnp.roll(q, w, axis=axis) for q in phis)
+            field_args = [conv] * nstream
+            for q in phis:
+                field_args += [q] * nstream
         args = (list(acc) if accumulate else []) + field_args + mats
+        if halo_ext:
+            args += [jnp.reshape(off, (1,)).astype(jnp.int32)]
         outs = pl.pallas_call(
             kern,
             grid=grid,

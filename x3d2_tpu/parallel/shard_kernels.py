@@ -89,6 +89,20 @@ def sharded_transeq_v3_supported(solver, dmesh, terms=2) -> bool:
     return True
 
 
+def _exchange_halo(fields, axis, name, ns, wa, n_loc):
+    """Halo-extend each field along `axis` via neighbour ppermute."""
+    fwd = [(i, (i + 1) % ns) for i in range(ns)]
+    bwd = [(i, (i - 1) % ns) for i in range(ns)]
+    outs = []
+    for q in fields:
+        lo = jax.lax.slice_in_dim(q, 0, wa, 1, axis)
+        hi = jax.lax.slice_in_dim(q, n_loc - wa, n_loc, 1, axis)
+        left = jax.lax.ppermute(hi, name, fwd)
+        right = jax.lax.ppermute(lo, name, bwd)
+        outs.append(jnp.concatenate([left, q, right], axis=axis))
+    return tuple(outs)
+
+
 def make_sharded_transeq_v3(solver, dmesh: DeviceMesh, terms=2,
                             interpret=False):
     """Build fn(u, v, w) -> (du, dv, dw) over globally-sharded fields:
@@ -105,28 +119,14 @@ def make_sharded_transeq_v3(solver, dmesh: DeviceMesh, terms=2,
         bs = 128 if axis == 2 else 64
         nb_loc[axis] = local[axis] // bs
 
-    def _exchange(fields, axis, name, ns):
-        """Halo-extend each field along `axis` via neighbour ppermute."""
-        wa = halo_ws[axis]
-        n_loc = local[axis]
-        fwd = [(i, (i + 1) % ns) for i in range(ns)]
-        bwd = [(i, (i - 1) % ns) for i in range(ns)]
-        outs = []
-        for q in fields:
-            lo = jax.lax.slice_in_dim(q, 0, wa, 1, axis)
-            hi = jax.lax.slice_in_dim(q, n_loc - wa, n_loc, 1, axis)
-            left = jax.lax.ppermute(hi, name, fwd)
-            right = jax.lax.ppermute(lo, name, bwd)
-            outs.append(jnp.concatenate([left, q, right], axis=axis))
-        return tuple(outs)
-
     def local_fn(u, v, w):
         acc = None
         for axis in (2, 0, 1):
             ns, name = shards[axis]
             kw = {}
             if ns > 1:
-                kw["exts"] = _exchange((u, v, w), axis, name, ns)
+                kw["exts"] = _exchange_halo((u, v, w), axis, name, ns,
+                                            halo_ws[axis], local[axis])
                 kw["off"] = jax.lax.axis_index(name) * nb_loc[axis]
             if acc is None:
                 acc = fns[axis](u, v, w, **kw)
@@ -138,6 +138,63 @@ def make_sharded_transeq_v3(solver, dmesh: DeviceMesh, terms=2,
     # check_vma off: pallas_call outputs carry no varying-mesh-axes info
     return jax.shard_map(local_fn, mesh=dmesh, in_specs=(fspec,) * 3,
                          out_specs=(fspec,) * 3, check_vma=False)
+
+
+def make_sharded_species_v3(solver, dmesh: DeviceMesh, terms=2,
+                            interpret=False):
+    """Sharded all-species transport RHS: per-shard fused species sweeps
+    (ops/pallas_kernels.make_species_dir_v3 halo-ext mode) with the conv
+    and phi halo planes exchanged over ICI per direction — the species
+    analogue of make_sharded_transeq_v3 (reference transeq_species,
+    solver.f90:507-601, runs through the same DistD2 pipeline as
+    momentum). fn(phis, u, v, w) -> per-species rhs tuple over
+    globally-sharded fields; raises ValueError when the local shards
+    don't satisfy the kernel tiling."""
+    from ..ops.pallas_kernels import make_species_dir_v3
+    nus = solver.nu_species
+    shards, dims = _axis_shards(solver, dmesh)
+    local = tuple(dims[a] // shards[a][0] for a in range(3))
+    fns, halo_ws, nb_loc = {}, {}, {}
+    for axis, accumulate in ((2, False), (0, True), (1, True)):
+        ns, name = shards[axis]
+        fns[axis] = make_species_dir_v3(
+            solver.ops[axis], nus, axis, local, terms=terms,
+            accumulate=accumulate, interpret=interpret, n_shards=ns)
+        halo_ws[axis] = _halo_w(axis, terms)
+        bs = 128 if axis == 2 else 64
+        nb_loc[axis] = local[axis] // bs
+
+    nsp = len(nus)
+
+    def local_fn(phi, u, v, w):
+        phis = tuple(phi[i] for i in range(nsp))
+        comps = (u, v, w)
+        acc = None
+        for axis in (2, 0, 1):
+            ns, name = shards[axis]
+            kw = {}
+            if ns > 1:
+                kw["exts"] = _exchange_halo((comps[axis],) + phis, axis,
+                                            name, ns, halo_ws[axis],
+                                            local[axis])
+                kw["off"] = jax.lax.axis_index(name) * nb_loc[axis]
+            if acc is None:
+                acc = fns[axis](phis, comps[axis], **kw)
+            else:
+                acc = fns[axis](phis, comps[axis], acc=acc, **kw)
+        return jnp.stack(acc)
+
+    fspec = P(*field_spec(dmesh, dims))
+    pspec = P(*((None,) + tuple(fspec)))
+    sharded = jax.shard_map(local_fn, mesh=dmesh,
+                            in_specs=(pspec,) + (fspec,) * 3,
+                            out_specs=pspec, check_vma=False)
+
+    def fn(phis, u, v, w):
+        out = sharded(jnp.stack(list(phis)), u, v, w)
+        return tuple(out[i] for i in range(nsp))
+
+    return fn
 
 
 # ---------------------------------------------------------------------------

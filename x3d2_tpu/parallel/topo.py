@@ -179,6 +179,17 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                 halo_solver, "_transeq_v3",
                 make_sharded_transeq_v3(solver, dmesh, terms=terms,
                                         interpret=interp))
+            if solver.nu_species and len(solver.nu_species) <= 8:
+                # species sweeps ride the same halo-ext kernel tiling
+                from .shard_kernels import make_sharded_species_v3
+                try:
+                    object.__setattr__(
+                        halo_solver, "_species_v3",
+                        make_sharded_species_v3(solver, dmesh,
+                                                terms=terms,
+                                                interpret=interp))
+                except ValueError:
+                    pass  # shard extents not tileable: operator path
         if (getattr(halo_solver, "_halo_mode", False)
                 and sharded_x_apply_supported(solver, dmesh)):
             # the x axis is never sharded: its dense applies run as
