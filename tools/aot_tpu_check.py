@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """AOT-compile the FULL sharded production step for a mocked TPU slice.
 
-The sharded Pallas kernel stack (halo-ext v3 transeq, per-shard x-apply,
-repencilled slab projection) can only ever *execute* on multi-chip
-hardware, but its Mosaic + GSPMD lowering is checked here without any:
+The sharded Pallas kernel stack (halo-ext v3 transeq + species sweeps,
+per-shard x-apply, repencilled slab projection) can only ever *execute*
+on multi-chip hardware, but its Mosaic + GSPMD lowering is checked here
+without any:
 jax.experimental.topologies provides a deviceless v5e topology, and
 make_sharded_step(aot=True) lowers + compiles the full jitted step
 against it (the reference's analogue is oversubscribed-rank MPI testing,
@@ -51,7 +52,8 @@ from x3d2_tpu.parallel.shard_kernels import (repencil_supported,
                                              sharded_transeq_v3_supported)
 
 mesh = Mesh(dims, (2 * np.pi,) * 3, ((BC.PERIODIC, BC.PERIODIC),) * 3)
-params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3)
+params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
+                      n_species=1, pr_species=(0.7,))
 case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                verbose=False, keep_pressure=False)
 dmesh = make_device_mesh(ny, nz, devs)
