@@ -61,6 +61,50 @@ def test_fused_ab_matches_separate(order):
         assert err < 1e-5, f"{k}: {err:.2e}"
 
 
+def test_fused_ab_with_species_matches_separate():
+    """Species-active fused-AB step (momentum in-kernel AB + phi XLA AB
+    on the kernel species RHS) vs the separate transeq + ab_step path
+    over all four variables, covering the AB3 startup rows."""
+    def _sp_case():
+        mesh = Mesh(SHAPE, (2 * np.pi,) * 3,
+                    ((BC.PERIODIC, BC.PERIODIC),) * 3)
+        params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
+                              n_species=1, pr_species=(0.7,))
+        return TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
+                       verbose=False, keep_pressure=False)
+
+    from x3d2_tpu.ops.pallas_kernels import make_fused_species_v3
+    ca = _sp_case()
+    cb = _sp_case()
+    nu = ca.solver.nu
+    v3 = make_fused_transeq_v3(ca.solver.ops, nu, SHAPE, interpret=True)
+    spk = make_fused_species_v3(ca.solver.ops, ca.solver.nu_species,
+                                SHAPE, interpret=True)
+    for c in (ca, cb):
+        object.__setattr__(c.solver, "_transeq_v3", v3)
+        object.__setattr__(c.solver, "_species_v3", spk)
+    assert ca._fused_ab is None
+    cb._fused_ab = make_fused_transeq_ab_v3(cb.solver.ops, nu, SHAPE,
+                                            nolds=2, interpret=True)
+    sa = ca.initial_state()
+    sb = cb.initial_state()
+    sa = ca.step_fn(sa)
+    sb = cb.step_fn(sb)
+    # step 1: identical inputs — the history head for every variable
+    # (incl. phi) must rotate alike up to kernel tiling-order noise
+    for oa, ob in zip(sa["olds"], sb["olds"]):
+        scale = float(jnp.max(jnp.abs(oa[0]))) + 1e-30
+        err = float(jnp.max(jnp.abs(oa[0] - ob[0])))
+        assert err < 1e-5 * scale, f"olds head: {err:.2e}"
+    for _ in range(2):  # covers the AB3 startup rows
+        sa = ca.step_fn(sa)
+        sb = cb.step_fn(sb)
+    uscale = float(jnp.max(jnp.abs(sa["u"])))  # w starts near 0 in TGV
+    for k in ("u", "v", "w", "phi"):
+        err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
+        assert err < 1e-5 * uscale, f"{k}: {err:.2e} vs {uscale:.2e}"
+
+
 def test_fused_ab_xdiv_chain():
     """The AB+xdiv pencil chain (final sweep emits the projection's
     x-transformed divergence inputs) matches the plain fused-AB chain on

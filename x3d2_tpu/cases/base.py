@@ -93,7 +93,10 @@ class BaseCase:
         # AB update fused into the final transeq sweep (in-kernel while
         # the velocity mid blocks are VMEM-resident) whenever the v3
         # Pallas kernels are active and no hook sits between transeq and
-        # the update (forcings identity, no species, plain accumulation).
+        # the update (forcings identity, plain accumulation). Species
+        # ride along: their RHS (v3 species sweeps) is evaluated on the
+        # pre-update velocities and phi takes the same AB formula as an
+        # XLA elementwise pass (stacked phi streams well).
         # Measured faster than the separate 15-pass AB elementwise update
         # on v5e at 512^3 (100.2 vs 103.9 ms/step at the time of the
         # comparison); X3D2_FUSED_AB=0 switches the fusion off for A/B
@@ -102,7 +105,7 @@ class BaseCase:
         self._fused_ab = None
         if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"
                 and self.ti.kind == "AB" and self.ti.nolds >= 1
-                and not params.compensated and not params.n_species
+                and not params.compensated
                 and type(self).forcings is BaseCase.forcings
                 and getattr(self.solver, "_transeq_v3", None) is not None):
             from ..common import DataLoc
@@ -310,14 +313,29 @@ class BaseCase:
             from ..time_integrators import AB_COEFFS
             nstep = jnp.minimum(istep, self.ti.order)
             dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
-            out = self._fused_ab(*fields[:3], state["olds"], dtc)
+            prhs = None
+            if nsp:
+                # species RHS on the pre-update velocities (the same
+                # time level the momentum RHS uses inside the kernel)
+                prhs = self.solver.transeq_species_all(fields[3],
+                                                       *fields[:3])
+            out = self._fused_ab(*fields[:3], state["olds"][:3], dtc)
             divs = None
             if len(out) == 3:  # AB+xdiv pencil chain
-                fields, rhs, divs = out
+                mom, rhs, divs = out
             else:
-                fields, rhs = out
+                mom, rhs = out
             olds = tuple((r,) + o[:-1]
-                         for r, o in zip(rhs, state["olds"]))
+                         for r, o in zip(rhs, state["olds"][:3]))
+            if nsp:
+                phi_olds = state["olds"][3]
+                phi = fields[3] + dtc[0] * prhs
+                for j, ph in enumerate(phi_olds):
+                    phi = phi + dtc[1 + j] * ph
+                fields = mom + (phi,)
+                olds = olds + ((prhs,) + phi_olds[:-1],)
+            else:
+                fields = mom
             fields, p, _ = self._substage_post(fields, bc_data,
                                                self.ti.gdt(dt, 0), istep,
                                                divs=divs)
