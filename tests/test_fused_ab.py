@@ -61,10 +61,12 @@ def test_fused_ab_matches_separate(order):
         assert err < 1e-5, f"{k}: {err:.2e}"
 
 
-def test_fused_ab_with_species_matches_separate():
+@pytest.mark.parametrize("merged", [False, True])
+def test_fused_ab_with_species_matches_separate(merged):
     """Species-active fused-AB step (momentum in-kernel AB + phi XLA AB
-    on the kernel species RHS) vs the separate transeq + ab_step path
-    over all four variables, covering the AB3 startup rows."""
+    on the kernel species RHS — either the standalone species sweeps or
+    the merged momentum+species chain) vs the separate transeq + ab_step
+    path over all four variables, covering the AB3 startup rows."""
     def _sp_case():
         mesh = Mesh(SHAPE, (2 * np.pi,) * 3,
                     ((BC.PERIODIC, BC.PERIODIC),) * 3)
@@ -84,8 +86,11 @@ def test_fused_ab_with_species_matches_separate():
         object.__setattr__(c.solver, "_transeq_v3", v3)
         object.__setattr__(c.solver, "_species_v3", spk)
     assert ca._fused_ab is None
+    sp_nus = cb.solver.nu_species if merged else ()
     cb._fused_ab = make_fused_transeq_ab_v3(cb.solver.ops, nu, SHAPE,
-                                            nolds=2, interpret=True)
+                                            nolds=2, interpret=True,
+                                            species_nus=sp_nus)
+    cb._fused_ab_sp = merged
     sa = ca.initial_state()
     sb = cb.initial_state()
     sa = ca.step_fn(sa)

@@ -75,6 +75,48 @@ def test_fused_species_chain(setup):
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
+def test_merged_transeq_species_chain(setup):
+    """Merged momentum+species sweeps (phi rides the momentum kernels)
+    vs the separate operator paths for both variable sets."""
+    from x3d2_tpu.ops.pallas_kernels import make_fused_transeq_v3
+    ns, comps, phis = setup
+    fn = make_fused_transeq_v3(ns.ops, ns.nu, SHAPE, interpret=True,
+                               species_nus=NUS)
+    mom, sp = fn(*comps, phis)
+    want_m = ns.transeq(*comps)
+    for g, e in zip(mom, want_m):
+        scale = float(jnp.max(jnp.abs(e))) + 1e-30
+        err = float(jnp.max(jnp.abs(g - e)))
+        assert err < 5e-5 * scale, f"momentum: {err:.2e}"
+    refs = _ref_rhs(ns, phis, comps)
+    for s, ref in enumerate(refs):
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        err = float(jnp.max(jnp.abs(sp[s] - ref)))
+        assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
+
+
+def test_transeq_with_species_dispatch(setup):
+    """solver.transeq_with_species: merged-chain dispatch matches the
+    separate paths when the merged kernels are injected."""
+    from x3d2_tpu.ops.pallas_kernels import make_fused_transeq_v3
+    ns, comps, phis = setup
+    phi = jnp.stack(phis)
+    mom0, sp0 = ns.transeq_with_species(*comps, phi)   # operator path
+    object.__setattr__(ns, "_transeq_sp_v3",
+                       make_fused_transeq_v3(ns.ops, ns.nu, SHAPE,
+                                             interpret=True,
+                                             species_nus=NUS))
+    try:
+        mom1, sp1 = ns.transeq_with_species(*comps, phi)
+    finally:
+        object.__setattr__(ns, "_transeq_sp_v3", None)
+    for g, e in zip(mom1, mom0):
+        scale = float(jnp.max(jnp.abs(e))) + 1e-30
+        assert float(jnp.max(jnp.abs(g - e))) < 5e-5 * scale
+    scale = float(jnp.max(jnp.abs(sp0))) + 1e-30
+    assert float(jnp.max(jnp.abs(sp1 - sp0))) < 5e-5 * scale
+
+
 def test_sharded_species_matches_operator(setup):
     """Sharded species sweeps (shard_map + ppermute halos, interpret
     mode) vs the global operator path on the virtual CPU device mesh —

@@ -103,6 +103,13 @@ class BaseCase:
         # runs.
         import os as _os
         self._fused_ab = None
+        # species ride the fused sweeps too when the merged kernels are
+        # built (solver._transeq_sp_v3); phi then adds only its own
+        # stream traffic to the chain
+        self._fused_ab_sp = (
+            params.n_species
+            and getattr(self.solver, "_transeq_sp_v3", None) is not None)
+        sp_nus = self.solver.nu_species if self._fused_ab_sp else ()
         if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"
                 and self.ti.kind == "AB" and self.ti.nolds >= 1
                 and not params.compensated
@@ -134,13 +141,25 @@ class BaseCase:
                     self._fused_ab = make_fused_transeq_ab_v3(
                         self.solver.ops, self.solver.nu, dims,
                         self.ti.nolds, terms=terms,
-                        xdiv=(d64["sx"], d64["ix"]))
+                        xdiv=(d64["sx"], d64["ix"]),
+                        species_nus=sp_nus)
                 except ValueError:
                     pass
             if self._fused_ab is None:
-                self._fused_ab = make_fused_transeq_ab_v3(
-                    self.solver.ops, self.solver.nu, dims,
-                    self.ti.nolds, terms=terms)
+                try:
+                    self._fused_ab = make_fused_transeq_ab_v3(
+                        self.solver.ops, self.solver.nu, dims,
+                        self.ti.nolds, terms=terms, species_nus=sp_nus)
+                except ValueError:
+                    if sp_nus:  # species untileable: momentum-only chain
+                        self._fused_ab_sp = False
+                        self._fused_ab = make_fused_transeq_ab_v3(
+                            self.solver.ops, self.solver.nu, dims,
+                            self.ti.nolds, terms=terms)
+                    else:
+                        raise
+        if self._fused_ab is None:
+            self._fused_ab_sp = False
         self.monitor = Monitor(self.solver, path=monitor_path,
                                verbose=verbose)
         self._step = jax.jit(self.step_fn, donate_argnums=0)
@@ -237,10 +256,11 @@ class BaseCase:
 
     def _rhs(self, fields, istep):
         u, v, w = fields[:3]
-        rhs = self.solver.transeq(u, v, w)
         if self.params.n_species:
-            rhs = rhs + (self.solver.transeq_species_all(
-                fields[3], u, v, w),)
+            mom, sp = self.solver.transeq_with_species(u, v, w, fields[3])
+            rhs = mom + (sp,)
+        else:
+            rhs = self.solver.transeq(u, v, w)
         return self.forcings(rhs, fields, istep)
 
     def _substage_post(self, fields, bc_data, gdt, istep, comp=None,
@@ -314,12 +334,20 @@ class BaseCase:
             nstep = jnp.minimum(istep, self.ti.order)
             dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
             prhs = None
-            if nsp:
-                # species RHS on the pre-update velocities (the same
-                # time level the momentum RHS uses inside the kernel)
-                prhs = self.solver.transeq_species_all(fields[3],
-                                                       *fields[:3])
-            out = self._fused_ab(*fields[:3], state["olds"][:3], dtc)
+            if nsp and self._fused_ab_sp:
+                # species ride the fused sweeps (merged kernels)
+                phis = tuple(fields[3][i] for i in range(nsp))
+                out = self._fused_ab(*fields[:3], state["olds"][:3],
+                                     dtc, phis=phis)
+                prhs = jnp.stack(out[-1])
+                out = out[:-1]
+            else:
+                if nsp:
+                    # species RHS on the pre-update velocities (the same
+                    # time level the momentum RHS uses inside the kernel)
+                    prhs = self.solver.transeq_species_all(fields[3],
+                                                           *fields[:3])
+                out = self._fused_ab(*fields[:3], state["olds"][:3], dtc)
             divs = None
             if len(out) == 3:  # AB+xdiv pencil chain
                 mom, rhs, divs = out

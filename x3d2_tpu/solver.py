@@ -140,6 +140,21 @@ class NavierStokes:
                                                   shape, terms=terms))
                     except ValueError:
                         pass
+                if (ns.nu_species and len(ns.nu_species) <= 8
+                        and _os.environ.get("X3D2_MERGED_SPECIES",
+                                            "1") != "0"):
+                    # merged momentum+species sweeps: phi rides the
+                    # momentum kernels (zero extra velocity/matrix
+                    # traffic — the aligned sa/da stacks and the conv
+                    # window are already resident per block)
+                    try:
+                        object.__setattr__(
+                            ns, "_transeq_sp_v3",
+                            make_fused_transeq_v3(
+                                ns.ops, nu, shape, terms=terms,
+                                species_nus=ns.nu_species))
+                    except ValueError:
+                        pass
             elif fused_transeq_supported(ns, shape):
                 # v1 dense fused kernel (HIGHEST): non-128-multiple shapes
                 # <= 256 that v3's block sizes cannot tile
@@ -270,6 +285,18 @@ class NavierStokes:
         return jnp.stack([self.transeq_species(phi[i], u, v, w,
                                                self.nu_species[i])
                           for i in range(nsp)])
+
+    def transeq_with_species(self, u, v, w, phi):
+        """Momentum + all-species RHS: (rhs3, sp_rhs stacked). The
+        merged sweeps compute both from one pass over the velocity
+        windows when built; otherwise the two paths run separately."""
+        m = getattr(self, "_transeq_sp_v3", None)
+        if m is not None:
+            nsp = len(self.nu_species)
+            rhs, sp = m(u, v, w, tuple(phi[i] for i in range(nsp)))
+            return rhs, jnp.stack(sp)
+        return (self.transeq(u, v, w),
+                self.transeq_species_all(phi, u, v, w))
 
     # ------------------------------------------------------------------
     # vector calculus (reference vector_calculus.f90)
