@@ -58,6 +58,23 @@ def loop_time(label, f, args):
 
 have = getattr(ns, "_species_v3", None)
 assert have is not None, "species v3 kernels not built (not on TPU?)"
+merged = getattr(ns, "_transeq_sp_v3", None)
+if merged is not None:
+    # merged chain: momentum+species in one pass over the velocity
+    # windows; compare against momentum-alone + standalone species.
+    # The readback must depend on BOTH outputs or XLA DCEs the unused
+    # momentum transeq on the separate path.
+    def both(p, a, b, c):
+        mom, sp = ns.transeq_with_species(a, b, c, p)
+        return sp + 1e-30 * mom[0]
+
+    ms_m = loop_time(f"transeq + species x{nsp} (merged)", both,
+                     (phi, u, v, w))
+    object.__setattr__(ns, "_transeq_sp_v3", None)
+    ms_s = loop_time(f"transeq + species x{nsp} (separate kernels)",
+                     both, (phi, u, v, w))
+    object.__setattr__(ns, "_transeq_sp_v3", merged)
+    print(f"merged-vs-separate speedup: {ms_s / ms_m:.2f}x")
 ms_k = loop_time(f"species RHS x{nsp} (v3 kernels)",
                  lambda p, a, b, c: ns.transeq_species_all(p, a, b, c),
                  (phi, u, v, w))
@@ -66,4 +83,4 @@ ms_e = loop_time(f"species RHS x{nsp} (einsum ops)",
                  lambda p, a, b, c: ns.transeq_species_all(p, a, b, c),
                  (phi, u, v, w))
 object.__setattr__(ns, "_species_v3", have)
-print(f"speedup: {ms_e / ms_k:.2f}x")
+print(f"kernel-vs-einsum speedup: {ms_e / ms_k:.2f}x")
