@@ -143,6 +143,35 @@ def test_sharded_species_matches_operator(setup):
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
+def test_sharded_merged_chain_matches_operator():
+    """Sharded merged momentum+species chain (one ppermute round per
+    sweep covers all fields) vs the global operator paths."""
+    from x3d2_tpu.parallel.topo import make_device_mesh
+    from x3d2_tpu.parallel.shard_kernels import make_sharded_transeq_v3
+    dims = (128, 256, 256)
+    mesh = Mesh(dims, (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    ns = NavierStokes.build(mesh, 1 / 1600, dtype=jnp.float32,
+                            nu_species=NUS)
+    rng = np.random.default_rng(13)
+    comps = tuple(jnp.asarray(rng.standard_normal(dims), jnp.float32)
+                  for _ in range(3))
+    phis = tuple(jnp.asarray(rng.standard_normal(dims), jnp.float32)
+                 for _ in range(2))
+    dmesh = make_device_mesh(2, 2)
+    fn = make_sharded_transeq_v3(ns, dmesh, terms=2, interpret=True,
+                                 species_nus=NUS)
+    mom, sp = jax.jit(lambda p, u, v, w: fn(u, v, w, p))(phis, *comps)
+    for g, e in zip(mom, ns.transeq(*comps)):
+        scale = float(jnp.max(jnp.abs(e))) + 1e-30
+        err = float(jnp.max(jnp.abs(g - e)))
+        assert err < 5e-5 * scale, f"momentum: {err:.2e}"
+    for s, ref in enumerate(_ref_rhs(ns, phis, comps)):
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        err = float(jnp.max(jnp.abs(sp[s] - ref)))
+        assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
+
+
 def test_sharded_species_rejects_untileable():
     """Local extents below the window sizes must raise (the sharded-step
     wiring then falls back to the operator path)."""

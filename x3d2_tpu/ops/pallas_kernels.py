@@ -397,9 +397,6 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     nstream = 2 if lane else 3
     halo_ext = n_shards > 1
     nsp = len(species_nus)
-    if nsp and halo_ext:
-        raise ValueError("merged species ride single-shard sweeps only "
-                         "(sharded runs use make_sharded_species_v3)")
     if nsp > 8:
         raise ValueError("species kernel capped at 8 per call (VMEM)")
     if ab_olds and (lane or not accumulate or halo_ext):
@@ -568,8 +565,9 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
             phis = tuple(jnp.roll(q, w, axis=axis) for q in phis)
         field_args = []
         if halo_ext:
-            # per field: l/r streams read the halo-extended operand
-            for q, e in zip((u, v, w_), exts):
+            # per field (incl. species): l/r streams read the
+            # halo-extended operand; exts covers (u, v, w, *phis)
+            for q, e in zip((u, v, w_) + tuple(phis), exts):
                 field_args += [e] * 2 if lane else [e, q, e]
         else:
             for q in (u, v, w_) + tuple(phis):

@@ -190,6 +190,18 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                                                 interpret=interp))
                 except ValueError:
                     pass  # shard extents not tileable: operator path
+                if os.environ.get("X3D2_MERGED_SPECIES", "1") != "0":
+                    # merged chain: phi rides the momentum kernels and
+                    # one ppermute round per sweep covers all fields
+                    try:
+                        object.__setattr__(
+                            halo_solver, "_transeq_sp_v3",
+                            make_sharded_transeq_v3(
+                                solver, dmesh, terms=terms,
+                                interpret=interp,
+                                species_nus=solver.nu_species))
+                    except ValueError:
+                        pass
         if (getattr(halo_solver, "_halo_mode", False)
                 and sharded_x_apply_supported(solver, dmesh)):
             # the x axis is never sharded: its dense applies run as
