@@ -24,8 +24,29 @@ Alongside wall-clock, the line reports:
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+# If the axon relay is unreachable, ANY jax backend init hangs forever
+# (the axon get_backend hook dials with no timeout — CLAUDE.md). Probe
+# in a subprocess first so the bench fails loudly instead of wedging
+# the driver. BENCH_NO_PROBE=1 skips (e.g. CPU-only experiments).
+if os.environ.get("BENCH_NO_PROBE", "0") != "1":
+    try:
+        _r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=180)
+        _ok = _r.returncode == 0
+    except subprocess.TimeoutExpired:
+        _ok = False
+    if not _ok:
+        print(json.dumps({
+            "metric": "tgv_step_ms", "value": None, "unit": "ms/step",
+            "vs_baseline": None,
+            "error": "device relay unreachable (jax backend init "
+                     "timed out/failed); see CLAUDE.md relay gotcha"}))
+        sys.exit(1)
 
 import numpy as np
 
