@@ -34,9 +34,13 @@ import time
 # the driver. BENCH_NO_PROBE=1 skips (e.g. CPU-only experiments).
 if os.environ.get("BENCH_NO_PROBE", "0") != "1":
     try:
+        # DEVNULL, not pipes: a relay-dialing child can fork helpers
+        # that inherit the pipes, and the post-kill pipe drain then
+        # blocks forever
         _r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=180)
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            timeout=180)
         _ok = _r.returncode == 0
     except subprocess.TimeoutExpired:
         _ok = False
