@@ -100,3 +100,27 @@ def test_transeq_analytic_convection_diffusion(periodic_ns):
     rhs_v_ref = -conv_v + nu * (-3 * v)
     assert np.max(np.abs(dv - rhs_v_ref)) < 1e-7
     assert np.max(np.abs(dw)) < 1e-7
+
+
+def test_transeq_species_analytic(periodic_ns):
+    """Species RHS vs the analytic convection-diffusion of a cosine
+    scalar in the TGV velocity field (reference
+    tests/verification/test_omp_transeq_species ethos; semantics from
+    solver.f90:507-601). The velocity is divergence-free, so the
+    skew-symmetric form equals -u.grad(phi) + nu_s lap(phi)."""
+    mesh, ns = periodic_ns
+    X, Y, Z = mesh.coord_grids(DataLoc.VERT)
+    shape = mesh.dims(DataLoc.VERT)
+    u = np.broadcast_to(np.sin(X) * np.cos(Y) * np.cos(Z), shape)
+    v = np.broadcast_to(-np.cos(X) * np.sin(Y) * np.cos(Z), shape)
+    w = np.zeros(shape)
+    phi = np.broadcast_to(np.cos(X) * np.cos(Y) * np.cos(Z), shape)
+    nu_s = 0.37
+    got = np.asarray(ns.transeq_species(
+        jnp.asarray(phi), jnp.asarray(u), jnp.asarray(v), jnp.asarray(w),
+        nu_s))
+    dpdx = -np.sin(X) * np.cos(Y) * np.cos(Z)
+    dpdy = -np.cos(X) * np.sin(Y) * np.cos(Z)
+    dpdz = -np.cos(X) * np.cos(Y) * np.sin(Z)
+    ref = -(u * dpdx + v * dpdy + w * dpdz) + nu_s * (-3 * phi)
+    assert np.max(np.abs(got - ref)) < 1e-7
