@@ -83,6 +83,19 @@ def run_all(n=256):
     t = _bench(lambda a: tr(a) * 0.999, u)
     perf_metric(f"transeq n={n}", t, ndof, 48)
 
+    # species transport RHS (reference perf analogue of
+    # transeq_species: same 16 accesses/DOF/direction counting as
+    # momentum but for one scalar => ~18/DOF total incl. conv reads)
+    spm = Mesh((n,) * 3, (2 * np.pi,) * 3,
+               ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    from x3d2_tpu.solver import NavierStokes
+    nssp = NavierStokes.build(spm, nu=1 / 1600, dtype=jnp.float32,
+                              nu_species=(1 / 1600 / 0.7,))
+    phi = u[None]
+    sp = jax.jit(lambda p: nssp.transeq_species_all(p, u, v, w))
+    t = _bench(lambda p: sp(p) * 0.999, phi)
+    perf_metric(f"species_rhs n={n}", t, ndof, 18)
+
     # poisson (model: ~10 accesses/DOF)
     po = jax.jit(lambda a: ns.poisson(ns.divergence_v2p(a, v, w)))
     t = _bench(lambda a: po(a) * 0.999 + u, u)
