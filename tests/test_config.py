@@ -69,3 +69,34 @@ n_output = 1
     # defaults preserved for unspecified keys
     assert cfg.solver.der1st_scheme == "compact6"
     assert cfg.checkpoint.checkpoint_freq == 0
+
+
+def test_parse_indexed_species_entries():
+    """Fortran indexed assignment into the defaulted pr_species array
+    (reference config.f90:161,194-195): pr_species defaults to 1.0 and
+    is truncated to n_species."""
+    from x3d2_tpu.config import Config
+    cfg = Config.from_string("""
+&domain_settings
+flow_case_name = 'tgv'
+L_global = 1d0, 1d0, 1d0
+dims_global = 8, 8, 8
+BC_x = 'periodic', 'periodic'
+BC_y = 'periodic', 'periodic'
+BC_z = 'periodic', 'periodic'
+/End
+
+&solver_params
+Re = 100d0
+time_intg = 'AB3'
+dt = 0.01d0
+n_iters = 5
+n_output = 1
+n_species = 3
+pr_species(1) = 0.7d0
+pr_species(3) = 0.9d0
+/End
+""")
+    assert cfg.solver.n_species == 3
+    # index 2 left at the reference default 1.0
+    assert cfg.solver.pr_species == (0.7, 1.0, 0.9)

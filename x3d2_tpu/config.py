@@ -87,6 +87,11 @@ def parse_namelists(text: str) -> dict[str, dict]:
     return blocks
 
 
+# fortran namelist semantics: indexed entries assign into a defaulted
+# array (e.g. pr_species defaults to 1.0 everywhere, config.f90:161)
+_INDEXED_PADS = {"pr_species": 1.0}
+
+
 def _fill(dc, entries: dict, block: str):
     names = {f.name.lower(): f.name for f in dc_fields(dc)}
     for k, v in entries.items():
@@ -96,6 +101,9 @@ def _fill(dc, entries: dict, block: str):
             name = names[m.group(1)]
             idx = int(m.group(2)) - 1
             cur = list(getattr(dc, name))
+            pad = _INDEXED_PADS.get(name.lower(), v)
+            while len(cur) <= idx:
+                cur.append(pad)
             cur[idx] = v
             setattr(dc, name, tuple(cur))
             continue
@@ -214,6 +222,12 @@ class Config:
             ent["pr_species"] = tuple(pr if isinstance(pr, list)
                                       else [pr])[:nsp]
         cfg.solver = _fill(sp, ent, "solver_params")
+        if cfg.solver.n_species:
+            # reference semantics (config.f90:194-195): pr_species is a
+            # defaulted-1.0 array truncated to n_species
+            pr = tuple(cfg.solver.pr_species)[:cfg.solver.n_species]
+            pr = pr + (1.0,) * (cfg.solver.n_species - len(pr))
+            cfg.solver.pr_species = pr
         cfg.checkpoint = _fill(CheckpointConfig(),
                                blocks.get("checkpoint_params", {}),
                                "checkpoint_params")
