@@ -75,6 +75,36 @@ def test_fused_species_chain(setup):
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
+def test_fused_species_chain_highest_terms3(setup):
+    """bf16x6 species sweeps (the KE-parity production mode) sit well
+    below the bf16x3 noise floor."""
+    ns, comps, phis = setup
+    fn = make_fused_species_v3(ns.ops, NUS, SHAPE, interpret=True,
+                               terms=3)
+    outs = fn(phis, *comps)
+    c64 = tuple(np.asarray(q, np.float64) for q in comps)
+    for s, (q, nu_s) in enumerate(zip(phis, NUS)):
+        q64 = np.asarray(q, np.float64)
+        ref = 0.0
+        for axis in range(3):
+            o = ns.ops[axis]
+            conv = c64[axis]
+            dq = np.moveaxis(np.tensordot(
+                np.asarray(o.der1st.M64), q64, axes=([1], [axis])),
+                0, axis)
+            dqd = np.moveaxis(np.tensordot(
+                np.asarray(o.der1st_sym.M64), q64 * conv,
+                axes=([1], [axis])), 0, axis)
+            d2q = np.moveaxis(np.tensordot(
+                np.asarray(o.der2nd.M64), q64, axes=([1], [axis])),
+                0, axis)
+            ref = ref - 0.5 * (conv * dq + dqd) + nu_s * d2q
+        scale = np.max(np.abs(ref))
+        err = float(np.max(np.abs(np.asarray(outs[s], np.float64)
+                                  - ref)))
+        assert err < 5e-7 * scale, f"species {s}: {err:.2e}"
+
+
 def test_merged_transeq_species_chain(setup):
     """Merged momentum+species sweeps (phi rides the momentum kernels)
     vs the separate operator paths for both variable sets."""
