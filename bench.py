@@ -79,20 +79,24 @@ def alg_min_flops(n, case):
     return (25 * napply + 27 + 8) * n**3
 
 
-def chained_ms(f, args, iters):
+def chained_ms(f, args, iters, extra=()):
     """Chained fori_loop timing with a forced scalar readback (host
     loops through the axon relay both add eager overhead and can report
-    bogus times; see tools/prof512.py)."""
-    def looped(args):
-        out = jax.lax.fori_loop(0, iters, lambda i, c: f(*c), args)
+    bogus times; see tools/prof512.py). `extra` operands are passed as
+    jit ARGUMENTS and appended to each call — closing over device
+    arrays would embed them as n^3 program constants, the exact relay
+    wedge CLAUDE.md root-caused."""
+    def looped(args, extra):
+        out = jax.lax.fori_loop(0, iters,
+                                lambda i, c: f(*c, *extra), args)
         leaf = next(x for x in jax.tree_util.tree_leaves(out)
                     if getattr(x, "ndim", 0) == 3)
         return jnp.sum(leaf[0])
 
     g = jax.jit(looped)
-    float(g(args))  # compile + warm
+    float(g(args, extra))  # compile + warm
     t0 = time.perf_counter()
-    float(g(args))
+    float(g(args, extra))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -155,20 +159,29 @@ def main():
             u, v, w = state["u"], state["v"], state["w"]
             it = max(10, n_iters // 2)
             fa = getattr(case, "_fused_ab", None)
+            if getattr(case, "_fused_ab_sp", False):
+                # species-variant chain has a different signature/return;
+                # the bench is momentum-only, so fall back to ns.transeq
+                fa = None
             divs = None
+            tr_extra = ()
             if fa is not None:
                 # time the PRODUCTION chain: fused transeq+AB sweep (the
                 # xdiv variant also emits the projection's x-div inputs),
-                # so ms_glue isn't polluted by the AB update's cost
-                olds = state["olds"]
+                # so ms_glue isn't polluted by the AB update's cost.
+                # olds/dtc/divs ride as chained_ms `extra` JIT ARGUMENTS
+                # (closures would embed them as n^3 program constants —
+                # the relay wedge gotcha)
+                olds = tuple(state["olds"][:3])
                 dtc = jnp.asarray([case.dt, 0.0, 0.0, 0.0],
                                   case.dtype)
 
-                def tr(a, b, c):
-                    out = fa(a, b, c, olds, dtc)
-                    return out[0]
+                def tr(a, b, c, olds_, dtc_):
+                    return fa(a, b, c, olds_, dtc_)[0]
 
-                probe = fa(u, v, w, olds, dtc)
+                tr_extra = (olds, dtc)
+                probe = jax.jit(lambda a, b, c, o, d: fa(a, b, c, o, d))(
+                    u, v, w, olds, dtc)
                 if len(probe) == 3:  # xdiv chain: divs come from transeq
                     divs = jax.block_until_ready(probe[2])
                 result["transeq_phase"] = ("fused_ab_xdiv" if divs
@@ -176,7 +189,7 @@ def main():
             else:
                 tr = ns.transeq
                 result["transeq_phase"] = "transeq"
-            ms_tr = chained_ms(tr, (u, v, w), it)
+            ms_tr = chained_ms(tr, (u, v, w), it, extra=tr_extra)
             # at xdiv sizes the x-div stages live in the transeq phase;
             # time the pressure phase the way the step runs it. The divs
             # must DEPEND on the loop carry (a one-element update keyed
@@ -185,13 +198,15 @@ def main():
             if divs is None:
                 pr = lambda a, b, c: ns.pressure_correction(
                     a, b, c, keep_pressure=False)[:3]
+                pr_extra = ()
             else:
-                def pr(a, b, c):
+                def pr(a, b, c, *dv):
                     s = a[0, 0, 0] * 1e-30
-                    dv_i = tuple(d.at[0, 0, 0].add(s) for d in divs)
+                    dv_i = tuple(d.at[0, 0, 0].add(s) for d in dv)
                     return ns.pressure_correction(
                         a, b, c, keep_pressure=False, divs=dv_i)[:3]
-            ms_pr = chained_ms(pr, (u, v, w), it)
+                pr_extra = tuple(divs)
+            ms_pr = chained_ms(pr, (u, v, w), it, extra=pr_extra)
             result["ms_transeq"] = round(ms_tr, 2)
             result["ms_pressure"] = round(ms_pr, 2)
             result["ms_glue"] = round(ms_per_step - ms_tr - ms_pr, 2)

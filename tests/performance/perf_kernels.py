@@ -85,15 +85,21 @@ def run_all(n=256):
 
     # species transport RHS (reference perf analogue of
     # transeq_species: same 16 accesses/DOF/direction counting as
-    # momentum but for one scalar => ~18/DOF total incl. conv reads)
-    spm = Mesh((n,) * 3, (2 * np.pi,) * 3,
-               ((BC.PERIODIC, BC.PERIODIC),) * 3)
-    from x3d2_tpu.solver import NavierStokes
-    nssp = NavierStokes.build(spm, nu=1 / 1600, dtype=jnp.float32,
-                              nu_species=(1 / 1600 / 0.7,))
-    phi = u[None]
-    sp = jax.jit(lambda p: nssp.transeq_species_all(p, u, v, w))
-    t = _bench(lambda p: sp(p) * 0.999, phi)
+    # momentum but for one scalar => ~18/DOF total incl. conv reads).
+    # Reuse the existing solver's operators; kernels when on TPU.
+    nu_sp = (1 / 1600 / 0.7,)
+    sp_fn = None
+    if getattr(ns, "_transeq_v3", None) is not None:
+        from x3d2_tpu.ops.pallas_kernels import make_fused_species_v3
+        try:
+            sp_fn = make_fused_species_v3(ns.ops, nu_sp, (n,) * 3)
+        except ValueError:
+            pass
+    if sp_fn is None:
+        sp_fn = lambda phis, a, b, c: (ns.transeq_species(
+            phis[0], a, b, c, nu_sp[0]),)
+    sp = jax.jit(lambda p: sp_fn((p,), u, v, w)[0])
+    t = _bench(lambda p: sp(p) * 0.999, u)
     perf_metric(f"species_rhs n={n}", t, ndof, 18)
 
     # poisson (model: ~10 accesses/DOF)

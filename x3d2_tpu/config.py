@@ -94,6 +94,7 @@ _INDEXED_PADS = {"pr_species": 1.0}
 
 def _fill(dc, entries: dict, block: str):
     names = {f.name.lower(): f.name for f in dc_fields(dc)}
+    defaults = {f.name: getattr(dc, f.name) for f in dc_fields(dc)}
     for k, v in entries.items():
         # fortran indexed assignment: key(i) = value
         m = re.fullmatch(r"(\w+)\((\d+)\)", k)
@@ -101,7 +102,11 @@ def _fill(dc, entries: dict, block: str):
             name = names[m.group(1)]
             idx = int(m.group(2)) - 1
             cur = list(getattr(dc, name))
-            pad = _INDEXED_PADS.get(name.lower(), v)
+            # pad skipped slots with the Fortran array default
+            pad = _INDEXED_PADS.get(name.lower())
+            if pad is None:
+                dv = defaults[name]
+                pad = dv[-1] if isinstance(dv, tuple) and dv else v
             while len(cur) <= idx:
                 cur.append(pad)
             cur[idx] = v

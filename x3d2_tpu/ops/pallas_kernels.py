@@ -364,6 +364,85 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
             o[...] = r.astype(o.dtype)
 
 
+def _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
+                    halo_ext, n_shards):
+    """Shared grid/BlockSpec scaffolding for the windowed direction
+    sweeps (momentum AND species): returns (grid, out_spec, fspecs,
+    sspec, dspec, blk_of, map_of). The fspecs encode the roll-free
+    window cover per variant — any halo/index-map fix lands here once."""
+    other = [a for a in range(3) if a != axis]
+    if free is None:
+        # full-size tiles even for the bf16x6 and AB-fused variants: the
+        # raised VMEM_LIMIT covers their extra operands (the halved
+        # tiles this used to need doubled the grid and cost ~2x)
+        free = _free_dims(axis)
+    t0, t1 = free
+    if shape[other[0]] % t0 or shape[other[1]] % t1:
+        raise ValueError(f"shape {shape} free dims not tileable")
+
+    def blk_of(extent):
+        blk = [0, 0, 0]
+        blk[axis] = extent
+        blk[other[0]] = t0
+        blk[other[1]] = t1
+        return tuple(blk)
+
+    def map_of(fn_ax):
+        def index_map(i, j, b):
+            idx = [0, 0, 0]
+            idx[axis] = fn_ax(b)
+            idx[other[0]] = i
+            idx[other[1]] = j
+            return tuple(idx)
+        return index_map
+
+    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
+    out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                            memory_space=pltpu.VMEM)
+    if lane and halo_ext:
+        # ext = concat(left_halo_w, local, right_halo_w): the window
+        # [b*bs-w, b*bs+bs+w) sits at ext blocks b, b+1 — no wrap
+        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(blk_of(bs), map_of(lambda b: b + 1),
+                               memory_space=pltpu.VMEM)]
+    elif lane:
+        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
+                               memory_space=pltpu.VMEM)]
+    elif halo_ext:
+        # l/r stream blocks come from the halo-extended operand (in units
+        # of w planes); the mid block from the plain local shard
+        r = bs // w
+        fspecs = [
+            pl.BlockSpec(blk_of(w), map_of(lambda b: b * r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(w), map_of(lambda b: (b + 1) * r + 1),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        r = bs // w
+        nw = n // w
+        fspecs = [
+            pl.BlockSpec(blk_of(w), map_of(lambda b: (b * r - 1) % nw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_of(w), map_of(lambda b: ((b + 1) * r) % nw),
+                         memory_space=pltpu.VMEM),
+        ]
+    win = bs + 2 * w
+    nb_g = nb * n_shards  # matrix stacks hold the GLOBAL banded blocks
+    sspec = pl.BlockSpec((nb_g, 2 * bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((nb_g, bs, win), lambda i, j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return grid, out_spec, fspecs, sspec, dspec, blk_of, map_of
+
+
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
                         terms=2, ab_olds=0, n_shards=1, ab_alias=True,
@@ -447,76 +526,9 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                 xmats += [jnp.asarray(p)
                           for p in split_hi_lo(Mp.T, terms)]
 
-    other = [a for a in range(3) if a != axis]
-    if free is None:
-        # full-size tiles even for the bf16x6 and AB-fused variants: the
-        # raised VMEM_LIMIT covers their extra operands (the halved
-        # tiles this used to need doubled the grid and cost ~2x)
-        free = _free_dims(axis)
-    t0, t1 = free
-    if shape[other[0]] % t0 or shape[other[1]] % t1:
-        raise ValueError(f"shape {shape} free dims not tileable")
-
-    def blk_of(extent):
-        blk = [0, 0, 0]
-        blk[axis] = extent
-        blk[other[0]] = t0
-        blk[other[1]] = t1
-        return tuple(blk)
-
-    def map_of(fn_ax):
-        def index_map(i, j, b):
-            idx = [0, 0, 0]
-            idx[axis] = fn_ax(b)
-            idx[other[0]] = i
-            idx[other[1]] = j
-            return tuple(idx)
-        return index_map
-
-    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
-    out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                            memory_space=pltpu.VMEM)
-    if lane and halo_ext:
-        # ext = concat(left_halo_w, local, right_halo_w): the window
-        # [b*bs-w, b*bs+bs+w) sits at ext blocks b, b+1 — no wrap
-        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(blk_of(bs), map_of(lambda b: b + 1),
-                               memory_space=pltpu.VMEM)]
-    elif lane:
-        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
-                               memory_space=pltpu.VMEM)]
-    elif halo_ext:
-        # l/r stream blocks come from the halo-extended operand (in units
-        # of w planes); the mid block from the plain local shard
-        r = bs // w
-        fspecs = [
-            pl.BlockSpec(blk_of(w), map_of(lambda b: b * r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(w), map_of(lambda b: (b + 1) * r + 1),
-                         memory_space=pltpu.VMEM),
-        ]
-    else:
-        r = bs // w
-        nw = n // w
-        fspecs = [
-            pl.BlockSpec(blk_of(w), map_of(lambda b: (b * r - 1) % nw),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(w), map_of(lambda b: ((b + 1) * r) % nw),
-                         memory_space=pltpu.VMEM),
-        ]
-    win = bs + 2 * w
-    nb_g = nb * n_shards  # matrix stacks hold the GLOBAL banded blocks
-    sspec = pl.BlockSpec((nb_g, 2 * bs, win), lambda i, j, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((nb_g, bs, win), lambda i, j, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    (grid, out_spec, fspecs, sspec, dspec, blk_of, map_of) = \
+        _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
+                        halo_ext, n_shards)
     kern = functools.partial(_transeq_kernel_v3, axis=axis, nu=float(nu),
                              w=w, bs=bs, nstream=nstream,
                              accumulate=accumulate, terms=terms,
@@ -1067,74 +1079,10 @@ def make_species_dir_v3(ops_axis, nus, axis, shape, w=None, bs=None,
     for M in (sa, ds):
         mats += [jnp.asarray(p) for p in split_hi_lo(M, terms)]
 
-    other = [a for a in range(3) if a != axis]
-    if free is None:
-        free = _free_dims(axis)
-    t0, t1 = free
-    if shape[other[0]] % t0 or shape[other[1]] % t1:
-        raise ValueError(f"shape {shape} free dims not tileable")
-
-    def blk_of(extent):
-        blk = [0, 0, 0]
-        blk[axis] = extent
-        blk[other[0]] = t0
-        blk[other[1]] = t1
-        return tuple(blk)
-
-    def map_of(fn_ax):
-        def index_map(i, j, b):
-            idx = [0, 0, 0]
-            idx[axis] = fn_ax(b)
-            idx[other[0]] = i
-            idx[other[1]] = j
-            return tuple(idx)
-        return index_map
-
-    grid = (shape[other[0]] // t0, shape[other[1]] // t1, nb)
-    out_spec = pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                            memory_space=pltpu.VMEM)
-    if lane and halo_ext:
-        # ext = concat(left_halo_w, local, right_halo_w): the window
-        # [b*bs-w, b*bs+bs+w) sits at ext blocks b, b+1 — no wrap
-        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(blk_of(bs), map_of(lambda b: b + 1),
-                               memory_space=pltpu.VMEM)]
-    elif lane:
-        fspecs = [pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(blk_of(bs), map_of(lambda b: (b + 1) % nb),
-                               memory_space=pltpu.VMEM)]
-    elif halo_ext:
-        # l/r stream blocks come from the halo-extended operand (in units
-        # of w planes); the mid block from the plain local shard
-        r = bs // w
-        fspecs = [
-            pl.BlockSpec(blk_of(w), map_of(lambda b: b * r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(w), map_of(lambda b: (b + 1) * r + 1),
-                         memory_space=pltpu.VMEM),
-        ]
-    else:
-        r = bs // w
-        nw = n // w
-        fspecs = [
-            pl.BlockSpec(blk_of(w), map_of(lambda b: (b * r - 1) % nw),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(bs), map_of(lambda b: b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_of(w), map_of(lambda b: ((b + 1) * r) % nw),
-                         memory_space=pltpu.VMEM),
-        ]
-    win = bs + 2 * w
+    (grid, out_spec, fspecs, sspec, dspec, blk_of, map_of) = \
+        _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
+                        halo_ext, n_shards)
     nparts = max(terms, 1)
-    nb_g = nb * n_shards  # matrix stacks hold the GLOBAL banded blocks
-    sspec = pl.BlockSpec((nb_g, 2 * bs, win), lambda i, j, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((nb_g, bs, win), lambda i, j, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
     kern = functools.partial(_species_kernel_v3, axis=axis,
                              nus=tuple(float(x) for x in nus), w=w, bs=bs,
                              nstream=nstream, accumulate=accumulate,
