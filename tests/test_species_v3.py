@@ -202,6 +202,27 @@ def test_sharded_merged_chain_matches_operator():
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
+def test_sharded_step_wires_species_kernels():
+    """make_sharded_step must select the merged species chain (and the
+    standalone sharded species kernels as fallback) on a species case
+    at a kernel-active size."""
+    from x3d2_tpu.cases import SolverParams, TGVCase
+    from x3d2_tpu.parallel.topo import make_device_mesh, make_sharded_step
+    mesh = Mesh((128, 256, 256), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
+                          n_species=2, pr_species=(0.7, 1.0))
+    case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
+                   verbose=False)
+    dmesh = make_device_mesh(2, 2)
+    make_sharded_step(case, dmesh)
+    ns = case._sharded_solver   # the solver the sharded step wired
+    assert getattr(ns, "_transeq_sp_v3", None) is not None
+    assert getattr(ns, "_species_v3", None) is not None
+    # the caller's case/solver stay untouched (copies)
+    assert getattr(case.solver, "_transeq_sp_v3", None) is None
+
+
 def test_sharded_species_rejects_untileable():
     """Local extents below the window sizes must raise (the sharded-step
     wiring then falls back to the operator path)."""

@@ -159,6 +159,7 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
         # the latter eagerly so no constants materialise under trace
         halo_solver = dataclasses.replace(solver)
         halo_solver._fused_pressure_mats()
+    orig_case = case
     case = copy.copy(case)
     case.solver = halo_solver
     # the fused transeq+AB kernel chain is a single-device program too
@@ -220,6 +221,10 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                 halo_solver, "_repencil_pressure",
                 make_repencilled_pressure(solver, dmesh, terms=terms,
                                           interpret=interp))
+    # breadcrumb on the CALLER's case (the working case is a copy):
+    # which solver variant the sharded step actually wired, for
+    # introspection and wiring tests
+    orig_case._sharded_solver = halo_solver
     sh = state_shardings(dmesh, state)
     if pin_shardings is None:
         pin_shardings = dmesh.devices.flat[0].platform != "cpu"
