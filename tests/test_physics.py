@@ -89,6 +89,31 @@ def test_species_diffusion_decay():
         assert float(np.max(np.abs(np.asarray(state[k])))) == 0.0, k
 
 
+def test_species_with_compensated_accumulation():
+    """Kahan-compensated stepping (the KE-parity production mode) must
+    carry species too: the comp pytree includes phi and the trajectory
+    tracks the plain-mode one at f32 rounding scale."""
+    n = 24
+    mesh = Mesh((n, n, n), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+
+    def run(comp):
+        params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
+                              n_species=1, pr_species=(0.7,),
+                              compensated=comp)
+        case = TGVCase(mesh, params, dtype=jnp.float32,
+                       monitor_path=None, verbose=False)
+        return case.run(n_iters=5, state=case.initial_state(),
+                        n_output=10**9)
+
+    sa, sb = run(False), run(True)
+    assert "comp" in sb and len(sb["comp"]) == 4  # u,v,w,phi comps
+    for k in ("u", "phi"):
+        a, b = np.asarray(sa[k]), np.asarray(sb[k])
+        assert np.isfinite(b).all()
+        assert np.max(np.abs(a - b)) < 1e-5 * (np.max(np.abs(a)) + 1e-30)
+
+
 def test_tgv_momentum_conservation():
     """Periodic box: mean momentum is exactly conserved by the
     skew-symmetric transport + projection."""
