@@ -100,3 +100,13 @@ pr_species(3) = 0.9d0
     assert cfg.solver.n_species == 3
     # index 2 left at the reference default 1.0
     assert cfg.solver.pr_species == (0.7, 1.0, 0.9)
+
+
+def test_parse_tgv_species_example():
+    import os
+    here = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "TGV_species", "input.x3d")
+    from x3d2_tpu.config import Config
+    cfg = Config.from_file(here)
+    assert cfg.solver.n_species == 2
+    assert cfg.solver.pr_species == (0.7, 1.0)
