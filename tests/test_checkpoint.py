@@ -51,6 +51,42 @@ def test_ab_checkpoint_bit_exact_restart(tmp_path):
         assert np.max(np.abs(np.asarray(oa) - np.asarray(ob))) < 1e-15
 
 
+def test_species_checkpoint_bit_exact_restart(tmp_path):
+    """phi and its AB history restore bit-exactly (the reference saves
+    species with the checkpoint state, checkpoint_manager.f90)."""
+    prefix = str(tmp_path / "spk")
+    ck = CheckpointConfig(checkpoint_freq=5, checkpoint_prefix=prefix,
+                          keep_checkpoint=True)
+    mesh = Mesh((16, 16, 16), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
+                          n_species=2, pr_species=(0.7, 1.0))
+
+    def case():
+        return TGVCase(mesh, params, dtype=jnp.float64,
+                       monitor_path=None, verbose=False)
+
+    case_a = case()
+    io_a = IOManager(case_a, ck, StatsConfig())
+    state_a = case_a.run(n_iters=10, state=case_a.initial_state(),
+                         n_output=10**9, io_manager=io_a)
+
+    case_b = case()
+    ck2 = CheckpointConfig(restart_from_checkpoint=True,
+                           restart_file=f"{prefix}_000005.npz",
+                           checkpoint_prefix=prefix)
+    io_b = IOManager(case_b, ck2, StatsConfig())
+    state_b = io_b.handle_restart(case_b.initial_state())
+    state_b = case_b.run(n_iters=5, state=state_b, n_output=10**9)
+
+    for k in ("u", "v", "w", "phi"):
+        d = np.max(np.abs(np.asarray(state_a[k]) - np.asarray(state_b[k])))
+        assert d < 1e-15, (k, d)
+    assert len(state_a["olds"]) == 4  # u,v,w,phi histories
+    for oa, ob in zip(state_a["olds"], state_b["olds"]):
+        assert np.max(np.abs(np.asarray(oa) - np.asarray(ob))) < 1e-15
+
+
 def test_compensated_checkpoint_bit_exact_restart(tmp_path):
     """The Kahan compensation arrays are part of the state and must
     restore bit-exactly for the continued trajectory to match."""
