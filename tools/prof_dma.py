@@ -47,6 +47,14 @@ VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def loop_time(label, f, x, nbytes):
+    try:
+        return _loop_time(label, f, x, nbytes)
+    except Exception as e:  # keep the ladder running past a bad rung
+        print(f"{label:24s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+        return None
+
+
+def _loop_time(label, f, x, nbytes):
     def looped(x):
         out = jax.lax.fori_loop(0, iters, lambda i, c: f(c), x)
         return jnp.sum(out[0])
@@ -128,6 +136,33 @@ def hbm2hbm(x, chunk_planes, conc):
             jax.lax.fori_loop(0, min(conc, nchunks), drain, 0)
 
         pl.run_scoped(body, sems=pltpu.SemaphoreType.DMA((conc,)))
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(x)
+
+
+# --- 3b. emit_pipeline: Pallas' software pipeliner inside one kernel ---------
+
+def emit_pipe(x, chunk_planes):
+    nchunks = x.shape[0] // chunk_planes
+    cshape = (chunk_planes,) + x.shape[1:]
+
+    def inner(i, x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 1.0000001
+
+    def kernel(x_hbm, o_hbm):
+        pltpu.emit_pipeline(
+            inner,
+            grid=(nchunks,),
+            in_specs=[pl.BlockSpec(cshape, lambda i: (i, 0, 0))],
+            out_specs=[pl.BlockSpec(cshape, lambda i: (i, 0, 0))],
+        )(x_hbm, o_hbm)
 
     return pl.pallas_call(
         kernel,
@@ -224,6 +259,14 @@ def main():
             loop_time(f"par[bs={bs}]",
                       functools.partial(grid_copy, bs=bs, parallel=True),
                       x, nb)
+    # emit_pipeline resolves the device kind at trace time (no CPU/
+    # interpret support; jax/_src/pallas/mosaic/tpu_info.py)
+    if jax.devices()[0].platform == "tpu" and not interpret:
+        for cp in (1, 4, 8):
+            if n % cp == 0:
+                loop_time(f"emit_pipe[cp={cp}]",
+                          functools.partial(emit_pipe, chunk_planes=cp),
+                          x, nb)
     for conc in (1, 2, 4, 8):
         loop_time(f"hbm2hbm[C={conc}]",
                   functools.partial(hbm2hbm, chunk_planes=4, conc=conc),
