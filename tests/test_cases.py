@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from x3d2_tpu.common import BC, DataLoc
+from x3d2_tpu.common import BC
 from x3d2_tpu.mesh import Mesh
 from x3d2_tpu.cases import ChannelCase, CylinderCase, GenericCase, SolverParams
 from x3d2_tpu.config import ChannelConfig, CylinderConfig

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
-from x3d2_tpu.common import BC, DataLoc
+from x3d2_tpu.common import BC
 from x3d2_tpu.mesh import Mesh
 from x3d2_tpu.solver import NavierStokes
 from x3d2_tpu.ops.matmul_poisson import MatmulPoisson

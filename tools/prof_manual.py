@@ -13,7 +13,6 @@ Usage: python tools/prof_manual.py [n] [iters]   (relay must be up)
 import os
 import sys
 import time
-import functools
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))

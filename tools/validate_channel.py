@@ -33,7 +33,7 @@ import jax.numpy as jnp
 n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
 sample = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-from x3d2_tpu.common import BC, DataLoc
+from x3d2_tpu.common import BC
 from x3d2_tpu.mesh import Mesh
 from x3d2_tpu.cases import ChannelCase, SolverParams
 from x3d2_tpu.config import ChannelConfig

@@ -25,7 +25,6 @@ shard_map, so XLA sees only ppermutes — no all-gathers.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
