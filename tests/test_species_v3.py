@@ -202,10 +202,11 @@ def test_sharded_merged_chain_matches_operator():
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
-def test_sharded_step_wires_species_kernels():
-    """make_sharded_step must select the merged species chain (and the
-    standalone sharded species kernels as fallback) on a species case
-    at a kernel-active size."""
+def test_sharded_step_wires_species_kernels(monkeypatch):
+    """make_sharded_step must select the standalone sharded species
+    kernels by default, and the merged momentum+species chain when
+    X3D2_MERGED_SPECIES=1 opts in (the merged chain measured slower
+    on-chip — see the solver.py gate — so it is opt-in)."""
     from x3d2_tpu.cases import SolverParams, TGVCase
     from x3d2_tpu.parallel.topo import make_device_mesh, make_sharded_step
     mesh = Mesh((128, 256, 256), (2 * np.pi,) * 3,
@@ -217,8 +218,14 @@ def test_sharded_step_wires_species_kernels():
     dmesh = make_device_mesh(2, 2)
     make_sharded_step(case, dmesh)
     ns = case._sharded_solver   # the solver the sharded step wired
-    assert getattr(ns, "_transeq_sp_v3", None) is not None
+    assert getattr(ns, "_transeq_sp_v3", None) is None   # opt-in only
     assert getattr(ns, "_species_v3", None) is not None
+    monkeypatch.setenv("X3D2_MERGED_SPECIES", "1")
+    case2 = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
+                    verbose=False)
+    make_sharded_step(case2, dmesh)
+    assert getattr(case2._sharded_solver, "_transeq_sp_v3",
+                   None) is not None
     # the caller's case/solver stay untouched (copies)
     assert getattr(case.solver, "_transeq_sp_v3", None) is None
 

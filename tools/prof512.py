@@ -159,4 +159,8 @@ def full_step_time():
     print(f"{'full step':44s} {ms:8.2f} ms")
 
 
+# free the component-timing buffers first: at 512^3 the module-level
+# state + u,v,w + olds (~6 GB) alongside TWO live step states inside the
+# timing loop exhausts the 16 GB HBM (observed RESOURCE_EXHAUSTED)
+del u, v, w, olds, state
 full_step_time()

@@ -153,7 +153,8 @@ def emit_pipe(x, chunk_planes):
     nchunks = x.shape[0] // chunk_planes
     cshape = (chunk_planes,) + x.shape[1:]
 
-    def inner(i, x_ref, o_ref):
+    def inner(x_ref, o_ref):
+        # emit_pipeline passes only the refs (grid index via program_id)
         o_ref[:] = x_ref[:] * 1.0000001
 
     def kernel(x_hbm, o_hbm):

@@ -191,9 +191,11 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                                                 interpret=interp))
                 except ValueError:
                     pass  # shard extents not tileable: operator path
-                if os.environ.get("X3D2_MERGED_SPECIES", "1") != "0":
+                if os.environ.get("X3D2_MERGED_SPECIES", "0") == "1":
                     # merged chain: phi rides the momentum kernels and
-                    # one ppermute round per sweep covers all fields
+                    # one ppermute round per sweep covers all fields.
+                    # Off by default: measured slower on-chip than the
+                    # separate species kernels (see solver.py gate).
                     try:
                         object.__setattr__(
                             halo_solver, "_transeq_sp_v3",

@@ -142,11 +142,16 @@ class NavierStokes:
                         pass
                 if (ns.nu_species and len(ns.nu_species) <= 8
                         and _os.environ.get("X3D2_MERGED_SPECIES",
-                                            "1") != "0"):
+                                            "0") == "1"):
                     # merged momentum+species sweeps: phi rides the
                     # momentum kernels (zero extra velocity/matrix
                     # traffic — the aligned sa/da stacks and the conv
-                    # window are already resident per block)
+                    # window are already resident per block).
+                    # MEASURED SLOWER on-chip (256^3 x2 species: merged
+                    # 7.96 ms vs separate 4.99 ms — the wider block
+                    # working set breaks the sweeps' DMA pipelining, the
+                    # same lesson as the merged x+z dual sweep), so OFF
+                    # by default; X3D2_MERGED_SPECIES=1 re-enables.
                     try:
                         object.__setattr__(
                             ns, "_transeq_sp_v3",
