@@ -59,3 +59,31 @@ def test_cli_tgv_full_io(tmp_path, capsys):
     main([str(inp2), "--dtype", "f64"])
     out2 = capsys.readouterr().out
     assert "Restart from" in out2
+
+
+def test_cli_rejects_x_decomposition(tmp_path):
+    """nproc_dir(1) > 1 (x-decomposition, reference mesh.f90:160-194)
+    must be rejected loudly — x is the TPU lane/solve axis — not
+    silently ignored."""
+    os.chdir(tmp_path)
+    inp = tmp_path / "input.x3d"
+    inp.write_text(INPUT.replace("nproc_dir = 1, 1, 1",
+                                 "nproc_dir = 2, 1, 1"))
+    with pytest.raises(SystemExit, match="x-direction decomposition"):
+        main([str(inp), "--dtype", "f64"])
+
+
+def test_cli_honours_yz_nproc_dir(tmp_path, capsys):
+    """A (y, z) decomposition request in the input file becomes the
+    device mesh (the reference reads nproc_dir from the same namelist,
+    xcompact.f90:69-74); --mesh still overrides."""
+    os.chdir(tmp_path)
+    inp = tmp_path / "input.x3d"
+    inp.write_text(INPUT.replace("nproc_dir = 1, 1, 1",
+                                 "nproc_dir = 1, 2, 2")
+                   .replace("snapshot_freq = 4", "snapshot_freq = 0")
+                   .replace("checkpoint_freq = 2", "checkpoint_freq = 0"))
+    main([str(inp), "--dtype", "f64"])
+    out = capsys.readouterr().out
+    assert "Flow case: tgv" in out
+    assert os.path.exists(tmp_path / "monitoring.csv")

@@ -50,6 +50,101 @@ def test_poisson_000_analytic():
     (BC.NEUMANN, BC.NEUMANN),      # 110
     (BC.DIRICHLET, BC.DIRICHLET),  # 110
 ])
+def test_poisson_roundtrip_div_grad_multimode(bcs_x, bcs_y):
+    """Eight cosine cases per BC config, like the reference's
+    test_poisson_bc.f90:1-60 (multi-mode coverage catches
+    indexing-parity bugs a single mode misses). Includes single-axis
+    Nyquist modes, which the reference kernels must NOT zero — only the
+    (x-Nyquist, z-Nyquist) intersection line is masked
+    (omp/kernels/spectral_processing.f90:216); the pre-round-4 mask
+    wrongly zeroed the whole Nyquist planes."""
+    n = 32
+    bcs = ((bcs_x, bcs_x), (bcs_y, bcs_y),
+           (BC.PERIODIC, BC.PERIODIC))
+    nv = (n if bcs_x == BC.PERIODIC else n + 1,
+          n if bcs_y == BC.PERIODIC else n + 1, n)
+    L = (2 * np.pi,) * 3
+    mesh, ns = make_solver(nv, bcs, L)
+    X, Y, Z = cell_grids(mesh)
+    Lx, Ly, Lz = mesh.L
+
+    def axis_mode(coord, Lax, m, periodic):
+        # periodic axes: full cosine harmonics (m up to Nyquist n/2);
+        # folded axes: the Neumann-compatible half-cosines k pi y / L
+        return (np.cos(2 * np.pi * m * coord / Lax) if periodic
+                else np.cos(np.pi * m * coord / Lax))
+
+    px = bcs_x == BC.PERIODIC
+    py = bcs_y == BC.PERIODIC
+    # 8 mode triples: low, mixed, odd/even mixtures, and single-axis
+    # Nyquist-type modes (x and z Nyquist never together — that line is
+    # legitimately projected out)
+    hx = n // 2 if px else n - 1
+    hy = n // 2 if py else n - 1
+    cases = [(1, 1, 1), (2, 1, 3), (1, 4, 2), (5, 3, 7),
+             (hx, 1, 2), (1, hy, 1), (2, 3, n // 2), (7, hy - 1, 5)]
+    for mx, my, mz in cases:
+        f = (axis_mode(X, Lx, mx, px) * axis_mode(Y, Ly, my, py)
+             * np.cos(2 * np.pi * mz * Z / Lz))
+        f = f - f.mean()
+        p = ns.poisson(jnp.asarray(f))
+        lap = np.asarray(ns.divergence_v2p(*ns.gradient_p2v(p)))
+        err = lap - f
+        err -= err.mean()
+        m = np.max(np.abs(err))
+        assert m < 1e-10, f"mode ({mx},{my},{mz}): {m:.2e}"
+
+
+@pytest.mark.parametrize("bcs_x,bcs_y", [
+    (BC.PERIODIC, BC.PERIODIC),    # 000
+    (BC.PERIODIC, BC.NEUMANN),     # 010
+    (BC.NEUMANN, BC.PERIODIC),     # 100
+    (BC.DIRICHLET, BC.DIRICHLET),  # 110
+])
+def test_fft_pipeline_multimode(bcs_x, bcs_y):
+    """The FFT Poisson pipeline must pass the same multi-mode roundtrip
+    matrix as the matmul variant (both diagonalise the identical
+    staggered operator; reference poisson_fft.f90:174-203)."""
+    n = 32
+    bcs = ((bcs_x, bcs_x), (bcs_y, bcs_y),
+           (BC.PERIODIC, BC.PERIODIC))
+    nv = (n if bcs_x == BC.PERIODIC else n + 1,
+          n if bcs_y == BC.PERIODIC else n + 1, n)
+    mesh = Mesh(global_vert_dims=nv, L=(2 * np.pi,) * 3, BCs=bcs)
+    ns = NavierStokes.build(mesh, nu=1.0, dtype=jnp.float64,
+                            poisson_method="fft")
+    X, Y, Z = cell_grids(mesh)
+    Lx, Ly, Lz = mesh.L
+    px = bcs_x == BC.PERIODIC
+    py = bcs_y == BC.PERIODIC
+    hx = n // 2 if px else n - 1
+    hy = n // 2 if py else n - 1
+    for mx, my, mz in [(1, 1, 1), (2, 1, 3), (1, 4, 2), (5, 3, 7),
+                       (hx, 1, 2), (1, hy, 1), (2, 3, n // 2),
+                       (7, hy - 1, 5)]:
+        f = ((np.cos(2 * np.pi * mx * X / Lx) if px
+              else np.cos(np.pi * mx * X / Lx))
+             * (np.cos(2 * np.pi * my * Y / Ly) if py
+                else np.cos(np.pi * my * Y / Ly))
+             * np.cos(2 * np.pi * mz * Z / Lz))
+        f = f - f.mean()
+        p = ns.poisson(jnp.asarray(f))
+        lap = np.asarray(ns.divergence_v2p(*ns.gradient_p2v(p)))
+        err = lap - f
+        err -= err.mean()
+        m = np.max(np.abs(err))
+        assert m < 1e-10, f"mode ({mx},{my},{mz}): {m:.2e}"
+
+
+@pytest.mark.parametrize("bcs_x,bcs_y", [
+    (BC.PERIODIC, BC.PERIODIC),    # 000
+    (BC.PERIODIC, BC.NEUMANN),     # 010
+    (BC.PERIODIC, BC.DIRICHLET),   # 010 (midpoint ops forced to Neumann)
+    (BC.NEUMANN, BC.PERIODIC),     # 100
+    (BC.DIRICHLET, BC.PERIODIC),   # 100
+    (BC.NEUMANN, BC.NEUMANN),      # 110
+    (BC.DIRICHLET, BC.DIRICHLET),  # 110
+])
 def test_poisson_roundtrip_div_grad(bcs_x, bcs_y):
     """div(grad(p)) after the solve must reproduce the input divergence
     field to near machine precision (exact spectral equivalence). Covers

@@ -114,6 +114,66 @@ def test_snapshot_vtr_for_stretched_mesh(tmp_path):
     assert "step_000001.vtr" in open(str(tmp_path / "chan.pvd")).read()
 
 
+def test_snapshot_reader_roundtrip(tmp_path):
+    """Snapshot store -> SnapshotReader -> arrays (the reference's
+    reader_session_t role, io_session.f90:57): iteration order, lazy
+    field access, per-step metadata, and series stacking all come back
+    exactly as written — no hand-globbing of step files."""
+    os.chdir(tmp_path)
+    mesh = Mesh((16, 16, 16), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB2", dt=1e-3)
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+    ck = CheckpointConfig(snapshot_freq=2,
+                          snapshot_prefix=str(tmp_path / "snap"),
+                          output_stride=(1, 1, 1), snapshot_sp=True)
+    io = IOManager(case, ck, StatsConfig())
+    case.run(n_iters=4, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+
+    from x3d2_tpu.io.reader import SnapshotReader
+    with SnapshotReader(str(tmp_path / "snap")) as r:
+        assert r.timesteps == [2, 4]
+        assert len(r) == 2
+        assert set(r.fields()) == {"u", "v", "w"}
+        times = [s.time for s in r]
+        assert times == pytest.approx([2e-3, 4e-3])
+        # read-back equals the raw archive bit-for-bit
+        raw = np.load(str(tmp_path / "snap_out" / "step_000004.npz"))
+        assert np.array_equal(r.read(4, "u"), raw["u"])
+        assert "u" in r.step(2) and "pressure" not in r.step(2)
+        series = r.series("w")
+        assert series.shape == (2, 16, 16, 16)
+        assert np.array_equal(series[1], raw["w"])
+        with pytest.raises(KeyError):
+            r.read(3, "u")
+        with pytest.raises(KeyError):
+            r.step(2)["time"]
+
+
+def test_stats_reader(tmp_path):
+    """StatsReader returns the latest Welford archive as plain arrays."""
+    os.chdir(tmp_path)
+    mesh = Mesh((12, 12, 12), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    params = SolverParams(Re=1600.0, time_intg="AB1", dt=1e-3)
+    case = TGVCase(mesh, params, dtype=jnp.float64, monitor_path=None,
+                   verbose=False)
+    st = StatsConfig(initstat=1, istatfreq=1, istatout=2,
+                     stats_prefix=str(tmp_path / "stats"))
+    io = IOManager(case, CheckpointConfig(), st)
+    case.run(n_iters=4, state=case.initial_state(), n_output=10**9,
+             io_manager=io)
+    from x3d2_tpu.io.reader import StatsReader
+    r = StatsReader(str(tmp_path / "stats"))
+    assert r.timesteps == [2, 4]
+    latest = r.latest()
+    assert int(latest["sample_count"]) == 4
+    ref = np.load(str(tmp_path / "stats_000004.npz"))
+    assert np.array_equal(latest["umean"], ref["umean"])
+
+
 def test_stats_written_with_derived(tmp_path):
     os.chdir(tmp_path)
     mesh = Mesh((12, 12, 12), (2 * np.pi,) * 3,

@@ -213,6 +213,9 @@ def test_sharded_step_wires_species_kernels(monkeypatch):
                 ((BC.PERIODIC, BC.PERIODIC),) * 3)
     params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
                           n_species=2, pr_species=(0.7, 1.0))
+    # the knob is documented for interactive use — clear any inherited
+    # value so the default-path assertion below holds in any shell
+    monkeypatch.delenv("X3D2_MERGED_SPECIES", raising=False)
     case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                    verbose=False)
     dmesh = make_device_mesh(2, 2)

@@ -43,6 +43,66 @@ def test_stretched_poisson_roundtrip(stretching):
     assert np.max(np.abs(err)) < 1e-10, np.max(np.abs(err))
 
 
+@pytest.mark.parametrize("stretching", ["top-bottom", "centred", "bottom"])
+def test_stretched_roundtrip_multimode(stretching):
+    """Eight cosine cases per stretching (reference test_poisson_bc.f90
+    breadth): mixed x/y/z harmonics including x- and z-Nyquist-adjacent
+    modes and high half-cosine y modes — single-mode roundtrips miss
+    mode-indexing bugs in the eigen-resolved stretched solve."""
+    mesh, ns = make(stretching)
+    X, Y, Z = mesh.coord_grids(DataLoc.CELL)
+    Lx, Ly, Lz = mesh.L
+    n = 32
+    for mx, my, mz in [(1, 1, 1), (2, 1, 3), (1, 4, 2), (5, 3, 7),
+                       (n // 2, 1, 2), (1, n - 1, 1), (2, 3, n // 2),
+                       (7, 30, 5)]:
+        f = (np.cos(2 * np.pi * mx * X / Lx)
+             * np.cos(np.pi * my * Y / Ly)
+             * np.cos(2 * np.pi * mz * Z / Lz))
+        f = f - f.mean()
+        p = ns.poisson(jnp.asarray(f))
+        lap = np.asarray(ns.divergence_v2p(*ns.gradient_p2v(p)))
+        err = lap - f
+        err -= err.mean()
+        m = np.max(np.abs(err))
+        assert m < 1e-9, f"{stretching} mode ({mx},{my},{mz}): {m:.2e}"
+
+
+@pytest.mark.parametrize("stretching", ["top-bottom", "centred", "bottom"])
+def test_eigen_resolution_active(stretching):
+    """The stretched-y solve must actually resolve to the eigen-basis
+    diagonal form (transform-folded matrices + separable waves tables) —
+    a silent fallback to the lax.scan path would pass the roundtrip but
+    lose the kernelized projection (VERDICT r3 item 3)."""
+    _, ns = make(stretching)
+    po = ns.poisson
+    assert po.stretch_resolved
+    assert po.stretch_solver is None
+    # the fused projection matrices must therefore be available
+    assert ns._fp_mats64() is not None
+
+
+@pytest.mark.parametrize("stretching", ["top-bottom", "centred", "bottom"])
+def test_eigen_vs_scan_solver_equivalence(stretching, monkeypatch):
+    """The eigen-resolved solve equals the guarded-elimination (scan)
+    port of the reference kernel on every mode except the pressure-gauge
+    constant (where the elimination pins x0=r0 and the eigen path zeroes
+    the null-mode coefficient — a pure additive constant)."""
+    _, ns_eig = make(stretching)
+    monkeypatch.setenv("X3D2_STRETCH_EIG", "0")
+    _, ns_scan = make(stretching)
+    assert ns_scan.poisson.stretch_solver is not None
+    rng = np.random.default_rng(7)
+    f = rng.standard_normal(ns_eig.mesh.dims(DataLoc.CELL))
+    f -= f.mean()
+    p_e = np.asarray(ns_eig.poisson(jnp.asarray(f)))
+    p_s = np.asarray(ns_scan.poisson(jnp.asarray(f)))
+    d = p_e - p_s
+    d -= d.mean()  # gauge-mode difference only
+    scale = max(np.abs(p_s).max(), 1.0)
+    assert np.abs(d).max() < 1e-9 * scale, np.abs(d).max()
+
+
 def test_bottom_first_row_correction():
     """The 'bottom' spectral path only satisfies the roundtrip with the
     corrected first-row assembly (the upstream branch at

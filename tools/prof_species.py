@@ -14,6 +14,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+# the merged momentum+species chain is opt-in (measured slower on-chip);
+# force it on here so this tool always reproduces the merged-vs-separate
+# measurement that justifies the gate
+os.environ.setdefault("X3D2_MERGED_SPECIES", "1")
+
 import numpy as np
 import jax
 import jax.numpy as jnp

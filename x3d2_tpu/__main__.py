@@ -59,6 +59,22 @@ def main(argv=None):
     cfg = Config.from_file(args.input)
     if args.n_iters is not None:
         cfg.solver.n_iters = args.n_iters
+
+    # Honour the input file's decomposition request (reference
+    # mesh.f90:160-194 accepts any nproc_dir(3)). On TPU, x is the
+    # lane/solve axis — every compact solve and the spectral x stage
+    # keep it whole — so an x-decomposition request is rejected loudly
+    # rather than silently ignored; (y, z) requests become the device
+    # mesh unless --mesh overrides them.
+    npd = tuple(int(p) for p in cfg.domain.nproc_dir)
+    if npd[0] > 1:
+        raise SystemExit(
+            f"nproc_dir = {npd}: x-direction decomposition "
+            "(nproc_dir(1) > 1) is not supported on TPU — x is the "
+            "lane/solve axis. Shard over (y, z) instead: set "
+            "nproc_dir = 1, NY, NZ or pass --mesh NY NZ.")
+    if not args.mesh and npd[1] * npd[2] > 1:
+        args.mesh = (npd[1], npd[2])
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)

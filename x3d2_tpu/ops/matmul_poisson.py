@@ -98,20 +98,6 @@ class MatmulPoisson:
         k2 = [t[4] for t in tabs]
         k1 = [t[3] for t in tabs]
 
-        def ax3(v, a):
-            shape = [1, 1, 1]
-            shape[a] = -1
-            return np.asarray(v).reshape(shape)
-
-        # The solve diagonal -1/waves is an n^3 field, but it is separable
-        # in 1-D tables; keep only those as device constants and rebuild
-        # the diagonal on the fly inside the solve (XLA fuses it into the
-        # division). Embedding the n^3 array as a program constant costs
-        # n^3 HBM reads per step and blows up the serialized program
-        # (512MB at 512^3, beyond the remote-compile request limit).
-        wdt = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        self._k2b = [jnp.asarray(ax3(k2[a], a), wdt) for a in range(3)]
-        self._Tb = [jnp.asarray(ax3(T[a], a), wdt) for a in range(3)]
         # f64 1-D masters, consumed by the Pallas slab kernel
         # (ops/pallas_poisson.py) to rebuild the solve diagonal in-kernel
         self.k2_1d = [np.asarray(k2[a], np.float64) for a in range(3)]
@@ -126,45 +112,91 @@ class MatmulPoisson:
             if all(self.nc[a] % 2 == 0 for a in zero_axes):
                 self._zero_idx = zero_axes
 
-        # per-axis transforms + exact inverses (float64 setup)
-        self.Tf, self.Ti = [], []
+        # per-axis transforms + exact inverses (float64 setup; the f64
+        # masters feed the transform-fused projection matrices)
+        self.Tf64, self.Ti64 = [], []
         for a in range(3):
             M = dct_matrix(self.nc[a]) if a in self.folded \
                 else real_dft_matrix(self.nc[a])
-            self.Tf.append(jnp.asarray(M, dtype=dtype))
-            self.Ti.append(jnp.asarray(np.linalg.inv(M), dtype=dtype))
+            self.Tf64.append(np.asarray(M, np.float64))
+            self.Ti64.append(np.linalg.inv(self.Tf64[a]))
+
+        # Separable solve-diagonal decomposition (shared with the Pallas
+        # slab kernels): waves(ix, iy, iz) = k2x[ix]*A[iy,iz]
+        # + Tx[ix]^2*B[iy,iz]. The uniform tables reproduce the reference
+        # modified-wavenumber product exactly; the eigen-resolved
+        # stretched-y solve (below) swaps in its own tables. Keeping only
+        # 1-D/2-D tables as device constants avoids an n^3 embedded
+        # program constant and its per-step HBM reads.
+        self.tab_A = np.outer(T[1] ** 2, T[2] ** 2)
+        self.tab_B = (np.outer(k2[1], T[2] ** 2)
+                      + np.outer(T[1] ** 2, k2[2]))
 
         self.stretch_solver = None
+        self.stretch_resolved = False
         if self.stretched_y:
+            import os
             g = mesh.geo[1]
             from .stretched_poisson import (StretchedYSolver,
-                                            build_stretch_matrices)
-            a_sets, offsets, inc = build_stretch_matrices(
-                nx, ny, nz, T[0], T[1], T[2],
-                k1[0], k1[1], k1[2], k2[0], k2[2],
-                mesh.L[1], g.alpha, g.beta, g.stretching)
-            self.stretch_solver = StretchedYSolver(a_sets, a_sets, offsets,
-                                                   inc, dtype=dtype)
+                                            build_stretch_matrices,
+                                            eigen_resolve)
+            if os.environ.get("X3D2_STRETCH_EIG", "1") != "0":
+                try:
+                    Fy, Iy, lam = eigen_resolve(
+                        ny, T[1], k1[1], mesh.L[1], g.alpha, g.beta,
+                        g.stretching)
+                    # fold the eigenbasis change into the y transforms:
+                    # every downstream consumer (fused projection
+                    # matrices, slab kernels, physical-p reconstruction)
+                    # composes Tf/Ti, so the stretched solve becomes
+                    # structurally identical to the uniform one
+                    self.Tf64[1] = Fy @ self.Tf64[1]
+                    self.Ti64[1] = self.Ti64[1] @ Iy
+                    self.tab_A = np.broadcast_to(
+                        (T[2] ** 2)[None, :], (ny, nz)).copy()
+                    self.tab_B = (np.broadcast_to(k2[2][None, :], (ny, nz))
+                                  - np.outer(lam, T[2] ** 2))
+                    self.stretch_resolved = True
+                except ValueError:
+                    pass
+            if not self.stretch_resolved:
+                a_sets, offsets, inc = build_stretch_matrices(
+                    nx, ny, nz, T[0], T[1], T[2],
+                    k1[0], k1[1], k1[2], k2[0], k2[2],
+                    mesh.L[1], g.alpha, g.beta, g.stretching)
+                self.stretch_solver = StretchedYSolver(
+                    a_sets, a_sets, offsets, inc, dtype=dtype)
+
+        # device transforms from the (possibly eigen-modified) masters
+        self.Tf = [jnp.asarray(M, dtype=dtype) for M in self.Tf64]
+        self.Ti = [jnp.asarray(M, dtype=dtype) for M in self.Ti64]
 
     def _inv_waves(self):
-        """The solve diagonal -1/waves rebuilt on the fly from the 1-D
-        tables (fused by XLA into the division; avoids an n^3 program
-        constant and its per-step HBM reads)."""
-        k2, T = self._k2b, self._Tb
-        waves = (k2[0] * (T[1] * T[2]) ** 2
-                 + k2[1] * (T[0] * T[2]) ** 2
-                 + k2[2] * (T[0] * T[1]) ** 2)
+        """The solve diagonal -1/waves rebuilt on the fly from the
+        separable tables (fused by XLA into the division; avoids an n^3
+        program constant and its per-step HBM reads)."""
+        wdt = jnp.float64 if self.rdtype == jnp.float64 else jnp.float32
+        nx = self.nc[0]
+        k2x = jnp.asarray(self.k2_1d[0], wdt).reshape(nx, 1, 1)
+        tx2 = jnp.asarray(self.T_1d[0] ** 2, wdt).reshape(nx, 1, 1)
+        A = jnp.asarray(self.tab_A, wdt)[None]
+        B = jnp.asarray(self.tab_B, wdt)[None]
+        waves = k2x * A + tx2 * B
         ok = jnp.abs(waves) >= _EPS
         inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
         if self._zero_idx is not None:
-            # zero the (Nyquist, Nyquist) modes of the named axes
-            mask = jnp.ones((), inv.dtype)
+            # zero the (Nyquist, Nyquist) INTERSECTION line of the named
+            # axes — the reference kernels zero exactly
+            # `i == nx/2+1 .and. k == nz/2+1`
+            # (omp/kernels/spectral_processing.f90:216), not the whole
+            # Nyquist planes
+            hit = jnp.ones((), inv.dtype)
             for a in self._zero_idx:
                 shp = [1, 1, 1]
                 shp[a] = self.nc[a]
                 idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shp), a)
-                mask = mask * jnp.where(idx == self.nc[a] // 2, 0.0, 1.0)
-            inv = inv * mask
+                hit = hit * jnp.where(idx == self.nc[a] // 2, 1.0, 0.0)
+            inv = inv * (1.0 - hit)
         return inv.astype(self.rdtype)
 
     @property

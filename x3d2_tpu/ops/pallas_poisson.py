@@ -237,12 +237,15 @@ def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w,
         dwm = _mm_left(iy, dw, terms)
         F = zstage(duv, dwm)
     # spectral solve: q = -F / waves, with the zero-wave guard and the
-    # Nyquist masks of matmul_poisson._inv_waves
+    # Nyquist-line mask of matmul_poisson._inv_waves: mx is the x-axis
+    # hit indicator per plane, Myz the (y,z) hit indicator table, and
+    # the zeroed set is their INTERSECTION (the reference kernels zero
+    # only `i == nx/2+1 .and. k == nz/2+1`, spectral_processing.f90:216)
     i = pl.program_id(0)
     waves = k2x_ref[i] * A_ref[...] + tx2_ref[i] * B_ref[...]
     ok = jnp.abs(waves) >= _EPS
     inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
-    return F * inv * (mx_ref[i] * Myz_ref[...])
+    return F * inv * (1.0 - mx_ref[i] * Myz_ref[...])
 
 
 def _grad_body(q, m2, terms, banded_y, nvy, nvz, nb, bs, w, bfly=False,
@@ -508,21 +511,26 @@ def make_pressure_slab(ns, terms=2, interpret=False):
         m1 = parts(d64["iy"]) + parts(d64["sy"]) + z1
         m2 = z2 + parts(d64["gy_is"]) + parts(d64["gy_i"])
 
-    # separable solve-diagonal tables (see module docstring)
-    k2x, k2y, k2z = po.k2_1d
-    Tx, Ty, Tz = po.T_1d
-    A = np.outer(Ty ** 2, Tz ** 2)
-    B = np.outer(k2y, Tz ** 2) + np.outer(Ty ** 2, k2z)
-    mx = np.ones(nx)
-    Myz = np.ones((ny, nz))
+    # separable solve-diagonal tables (see module docstring); tab_A/tab_B
+    # carry either the uniform modified-wavenumber decomposition or the
+    # eigen-resolved stretched-y one (matmul_poisson)
+    k2x = po.k2_1d[0]
+    Tx = po.T_1d[0]
+    A = np.asarray(po.tab_A, np.float64)
+    B = np.asarray(po.tab_B, np.float64)
+    # Nyquist-line INDICATORS: the zeroed set is the intersection of the
+    # named axes' Nyquist indices (mask applied as 1 - mx*Myz in-kernel)
     if po._zero_idx is not None:
-        for a in po._zero_idx:
-            if a == 0:
-                mx[nx // 2] = 0.0
-            elif a == 1:
-                Myz[ny // 2, :] = 0.0
-            else:
-                Myz[:, nz // 2] = 0.0
+        mx = (np.ones(nx) if 0 not in po._zero_idx
+              else (np.arange(nx) == nx // 2).astype(np.float64))
+        my = (np.ones(ny) if 1 not in po._zero_idx
+              else (np.arange(ny) == ny // 2).astype(np.float64))
+        mz = (np.ones(nz) if 2 not in po._zero_idx
+              else (np.arange(nz) == nz // 2).astype(np.float64))
+        Myz = np.outer(my, mz)
+    else:
+        mx = np.zeros(nx)
+        Myz = np.zeros((ny, nz))
     q_perm = None
     if banded_y and bfly:
         # block-parity spectral y ordering (see _bfly_fwd): permute the

@@ -210,6 +210,129 @@ def build_stretch_matrices(nx_spec, ny, nz_spec, trans_x, trans_y, trans_z,
     return [A_od, A_ev], [0, 1], 2
 
 
+def _banded5_to_dense(A5):
+    """(n, 5) diagonal-order (sub2, sub1, diag, sup1, sup2) -> (n, n)."""
+    n = A5.shape[0]
+    D = np.zeros((n, n))
+    for k, off in enumerate((-2, -1, 0, 1, 2)):
+        for j in range(n):
+            c = j + off
+            if 0 <= c < n:
+                D[j, c] = A5[j, k]
+    return D
+
+
+def extract_pencils(ny, trans_y, ky, L_y, geo_alpha, beta, stretching):
+    """Extract the two-parameter family structure of the spectral
+    matrices: every A(kx, kz) built by build_stretch_matrices is
+
+        A = w * D + s^2 * B,   w = -((kx Tz)^2 + (kz Tx)^2),  s = Tx Tz,
+
+    because each entry is a product of exactly two modified wavenumbers
+    km = Tx*ky*Tz (the s^2 part) except the xz_term diagonal (the w part,
+    with D = diag(Ty(iy)^2)). D and B are recovered by two probe builds
+    (w=0,s=1 and w=-D-scale,s=1) at a non-singular probe mode so the
+    singular-mode row tweaks cannot pollute them.
+
+    Returns (sets, offsets, inc) with sets = [(d_vec, B_dense), ...]
+    per parity set, all float64.
+    """
+    ones2 = np.ones(2)
+    zeros2 = np.zeros(2)
+    # probe 1: kx=kz=0 -> w=0; Tx=Tz=1 -> s=1; A = B.  k2x=k2z=1 keeps
+    # every mode clear of the singular-mode test.
+    sets_B, offsets, inc = build_stretch_matrices(
+        2, ny, 2, ones2, trans_y, ones2, zeros2, ky, zeros2, ones2, ones2,
+        L_y, geo_alpha, beta, stretching)
+    # probe 2: kx=1, kz=0, Tx=Tz=1 -> w-part evaluates at -Ty(iy)^2,
+    # i.e. A2 = -D + B, so D = B - A2.
+    sets_A2, _, _ = build_stretch_matrices(
+        2, ny, 2, ones2, trans_y, ones2, ones2, ky, zeros2, ones2, ones2,
+        L_y, geo_alpha, beta, stretching)
+    sets = []
+    for B5, A25 in zip(sets_B, sets_A2):
+        B5 = B5[1, :, 1, :]
+        A25 = A25[1, :, 1, :]
+        D5 = B5 - A25
+        off_mass = np.abs(np.delete(D5, 2, axis=1)).max()
+        scale = max(np.abs(B5).max(), 1.0)
+        if off_mass > 1e-12 * scale:
+            raise ValueError("w-dependence is not purely diagonal")
+        sets.append((D5[:, 2].copy(), _banded5_to_dense(B5)))
+    return sets, offsets, inc
+
+
+def eigen_resolve(ny, trans_y, ky, L_y, geo_alpha, beta, stretching,
+                  tol=1e-8):
+    """Resolve the stretched-y pentadiagonal solve into a fixed pair of
+    dense y-matrices plus a separable diagonal division.
+
+    With A = w*D + s^2*B (see extract_pencils) and the real
+    eigendecomposition D^{-1} B = V diag(lam) V^{-1}, the per-mode solve
+    x = A^{-1} r becomes
+
+        x = Iy @ [ (Fy @ r) / (w + s^2 * lam) ],
+        Fy = V^{-1} D^{-1},  Iy = V         (parity-embedded, ny x ny)
+
+    which is the SAME structure as the uniform spectral solve: two extra
+    y-basis matrices (foldable into the existing transform-fused
+    projection matrices) and a modified-wavenumber-style separable
+    denominator. Singular modes (w=0 and lam=0 — the pressure gauge
+    mode) fall to the standard |waves|<eps guard; the eliminated-solve
+    path pins that mode to r0 instead, a pure gauge constant (the A
+    column coupling x0 into other rows is exactly zero there).
+
+    Returns (Fy, Iy, lam) float64, or raises ValueError when the pencil
+    is not cleanly diagonalizable (caller falls back to the scan path).
+    """
+    sets, offsets, inc = extract_pencils(ny, trans_y, ky, L_y, geo_alpha,
+                                         beta, stretching)
+    Fy = np.zeros((ny, ny))
+    Iy = np.zeros((ny, ny))
+    lam = np.zeros(ny)
+    for (d, B), off in zip(sets, offsets):
+        n = d.shape[0]
+        if np.abs(d).min() <= 0:
+            raise ValueError("stretching metric diagonal not positive")
+        M = B / d[:, None]
+        ev, V = np.linalg.eig(M)
+        scale = max(np.abs(ev.real).max(), 1.0)
+        if np.abs(ev.imag).max() > 1e-9 * scale:
+            raise ValueError("complex eigenvalues in stretched-y pencil")
+        ev = ev.real
+        V = V.real
+        # snap the structural null eigenvalue (B's first column is
+        # exactly zero at the gauge mode) to exact zero so the waves
+        # guard catches it; genuine eigenvalues sit many orders above
+        ev = np.where(np.abs(ev) < 1e-10 * scale, 0.0, ev)
+        Q = np.linalg.solve(V, np.diag(1.0 / d))
+        # diagonal balance: scale eigenvector columns so that
+        # ||row_i(Q)|| == ||col_i(V)|| (diagonals commute past the
+        # eigen-mode division, so this is exact); shrinks the dynamic
+        # range the f32/bf16 matmuls see from D^-1's ~n^2 spread
+        r_n = np.linalg.norm(Q, axis=1)
+        c_n = np.linalg.norm(V, axis=0)
+        sig = np.sqrt(c_n / np.maximum(r_n, 1e-300))
+        Q = Q * sig[:, None]
+        V = V / sig[None, :]
+        # residual check at random non-singular shifts theta:
+        # (theta*D + B) @ V diag(1/(theta+lam)) Q must be the identity
+        for theta in (0.37 * scale, 2.1 * scale, 11.0 * scale):
+            den = theta + ev
+            if np.abs(den).min() < 1e-12 * scale:
+                continue
+            R = (np.diag(theta * d) + B) @ (V * (1.0 / den)) @ Q
+            if np.abs(R - np.eye(n)).max() > tol:
+                raise ValueError(
+                    f"eigen-resolved solve residual "
+                    f"{np.abs(R - np.eye(n)).max():.2e} exceeds {tol:.0e}")
+        idx = off + inc * np.arange(n)
+        Fy[np.ix_(idx, idx)] = Q
+        Iy[np.ix_(idx, idx)] = V
+        lam[idx] = ev
+    return Fy, Iy, lam
+
+
 def factorize(A):
     """Precompute the elimination of process_spectral_010_poisson
     (spectral_processing.f90:465-622) once: returns dict of factor arrays.

@@ -377,8 +377,8 @@ class NavierStokes:
             return self._fp64_cache
         po = self.poisson
         d = {}
-        f64 = [np.asarray(T, np.float64) for T in po.Tf]
-        i64 = [np.asarray(T, np.float64) for T in po.Ti]
+        f64 = [np.asarray(T, np.float64) for T in po.Tf64]
+        i64 = [np.asarray(T, np.float64) for T in po.Ti64]
         ox, oy, oz = self.ops
         # divergence stages fused with forward transforms (per axis)
         d["sx"] = f64[0] @ ox.stagder_v2p.M64
