@@ -153,6 +153,40 @@ def main():
         "mxu_util_vs_bf16x3_peak": round(exec_tf / bf16x3_ceiling, 3),
     }
 
+    if os.environ.get("BENCH_CASES", "1") != "0":
+        # per-case rows: the reference's other production configs
+        # (examples/{channel,cylinder}/input.x3d) timed end-to-end via
+        # the same chunked runner. Channel exercises the RK3 path and
+        # the eigen-resolved stretched-y projection; cylinder the IBM +
+        # inflow/outflow path.
+        from x3d2_tpu.__main__ import make_case
+        from x3d2_tpu.config import Config
+        root = os.path.dirname(os.path.abspath(__file__))
+        for name, ex in (("channel", "examples/channel/input.x3d"),
+                         ("cylinder", "examples/cylinder/input.x3d")):
+            try:
+                cfg = Config.from_file(os.path.join(root, ex))
+                c = make_case(cfg, jnp.float32, verbose=False,
+                              monitor_path=None)
+                c.keep_pressure = False
+                it = int(os.environ.get("BENCH_CASE_ITERS", "40"))
+                st = c.initial_state()
+                st = c._chunk(st, it)
+                jax.block_until_ready(st["u"])
+                t0 = time.perf_counter()
+                st = c._chunk(st, it)
+                jax.block_until_ready(st["u"])
+                ms = (time.perf_counter() - t0) / it * 1e3
+                if not bool(jnp.isfinite(st["u"]).all()):
+                    raise FloatingPointError("NaN in case bench")
+                grid = "x".join(str(d) for d in cfg.domain.dims_global)
+                result[f"ms_{name}"] = round(ms, 2)
+                result[f"{name}_config"] = (
+                    f"{grid} {cfg.solver.time_intg} "
+                    f"dt={cfg.solver.dt}")
+            except Exception as e:
+                result[f"{name}_error"] = f"{type(e).__name__}: {e}"[:120]
+
     if phases:
         try:
             ns = case.solver

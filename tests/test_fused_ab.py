@@ -207,3 +207,31 @@ def test_fused_ab_xdiv_chain():
         # bf16x3 noise on the large-row-norm transform-folded derivative
         # matrices (~1e-4 rel; same bound as the slab-kernel tests)
         assert err < 2e-4 * scale, f"{nm}: {err:.2e} vs {scale:.2e}"
+
+
+@pytest.mark.parametrize("order", [2, 3, 4])
+def test_fused_rk_matches_separate(order):
+    """Fused RK substage chain (make_fused_transeq_rk: the substage
+    update runs in-kernel with a separate f0 base stream) vs the same
+    v3 transeq + time_integrators.rk_substage, across all substages and
+    two full steps (time_integrator.f90:166-231 tableaus)."""
+    from x3d2_tpu.ops.pallas_kernels import make_fused_transeq_rk
+    intg = f"RK{order}"
+    ca = _case(intg)
+    cb = _case(intg)
+    shape = SHAPE
+    nu = ca.solver.nu
+    v3 = make_fused_transeq_v3(ca.solver.ops, nu, shape, interpret=True)
+    object.__setattr__(ca.solver, "_transeq_v3", v3)
+    assert ca._fused_rk is None   # CPU build leaves the gate cold
+    cb._fused_rk = make_fused_transeq_rk(cb.solver.ops, nu, shape,
+                                         order, interpret=True)
+
+    sa = ca.initial_state()
+    sb = cb.initial_state()
+    for _ in range(2):
+        sa = ca.step_fn(sa)
+        sb = cb.step_fn(sb)
+    for k in ("u", "v", "w"):
+        err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
+        assert err < 1e-5, f"{k}: {err:.2e}"

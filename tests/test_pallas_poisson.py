@@ -101,3 +101,56 @@ def test_mid_no_q_matches_mid():
     # and the keep_pressure=False projection returns p=None on this path
     uc, vc, wc, p = ns.pressure_correction(u, v, w, keep_pressure=False)
     assert p is None
+
+
+def test_merged_x_kernels_match_separate(monkeypatch):
+    """The merged 3-field x-stage kernels (div3 / gradsub3, one
+    pallas_call with 6/9 concurrent streams) are bit-identical to the
+    per-field parity kernels — same split arithmetic, different DMA
+    pipelining; X3D2_MERGED_X=0 drops them."""
+    monkeypatch.delenv("X3D2_MERGED_X", raising=False)
+    ns = _build((PER,) * 3)
+    fns = make_pressure_slab(ns, terms=2, interpret=True)
+    xk = fns[2]
+    assert "div3" in xk and "gradsub3" in xk
+    u, v, w = _fields(ns, seed=13)
+    du, dv, dw = xk["div3"](u, v, w)
+    assert jnp.array_equal(du, xk["sx"](u))
+    assert jnp.array_equal(dv, xk["ix"](v))
+    assert jnp.array_equal(dw, xk["ix"](w))
+    un, vn, wn = xk["gradsub3"](du, dv, dw, u, v, w)
+    assert jnp.array_equal(un, xk["gx_s_sub"](du, u))
+    assert jnp.array_equal(vn, xk["gx_i_sub"](dv, v))
+    assert jnp.array_equal(wn, xk["gx_i_sub"](dw, w))
+    monkeypatch.setenv("X3D2_MERGED_X", "0")
+    fns2 = make_pressure_slab(ns, terms=2, interpret=True)
+    assert "div3" not in fns2[2]
+
+
+def test_pipe3_matches_production_chain():
+    """The 3-stage pipeline (slab div -> x+solve kernel -> slab
+    grad+correction) equals the x-first chain (div3 -> mid -> gradsub3)
+    to matmul noise, and the corrected field is divergence-free."""
+    from x3d2_tpu.ops.pallas_poisson import (make_pressure_pipe3,
+                                             pipe3_supported)
+    ns = _build((PER,) * 3)
+    assert pipe3_supported(ns, terms=2)
+    u, v, w = _fields(ns, seed=17)
+    fns = make_pressure_slab(ns, terms=2, interpret=True)
+    object.__setattr__(ns, "_slab_pressure", fns)
+    ref = ns.pressure_correction(u, v, w, keep_pressure=False)
+    pipe = make_pressure_pipe3(ns, terms=2, interpret=True)
+    got = pipe(u, v, w)
+    for r, g, name in zip(ref[:3], got, ("u", "v", "w")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-30
+        err = float(jnp.max(jnp.abs(r - g))) / scale
+        assert err < 2e-4, f"{name}: rel err {err:.2e}"
+    div0 = float(jnp.max(jnp.abs(ns.divergence_v2p(u, v, w))))
+    div = float(jnp.max(jnp.abs(ns.divergence_v2p(*got))))
+    assert div < 2e-4 * div0
+    # the solver wires it for keep_pressure=False only
+    object.__setattr__(ns, "_pipe_pressure", pipe)
+    un, vn, wn, p = ns.pressure_correction(u, v, w, keep_pressure=False)
+    assert p is None and jnp.array_equal(un, got[0])
+    uk, _, _, pk = ns.pressure_correction(u, v, w, keep_pressure=True)
+    assert pk is not None

@@ -171,3 +171,77 @@ def test_sharded_x_apply_matches_dense():
         scale = float(jnp.max(jnp.abs(want)))
         err = float(jnp.max(jnp.abs(got - want)))
         assert err < 5e-5 * scale, f"{name}: {err:.2e}"
+
+
+def _collective_bytes(hlo_text):
+    """Sum output bytes of each collective op class in a compiled HLO
+    dump (tuple-shaped outputs summed element-wise; async -start
+    variants counted once, -done excluded by the regex)."""
+    import re
+    DT = {"f32": 4, "f64": 8, "bf16": 2}
+
+    def shape_bytes(s):
+        m = re.match(r"(\w+)\[([\d,]*)\]", s)
+        if not m or m.group(1) not in DT:
+            return 0
+        nel = 1
+        for d in m.group(2).split(","):
+            if d:
+                nel *= int(d)
+        return nel * DT[m.group(1)]
+
+    out = {}
+    for op in ("collective-permute", "all-to-all"):
+        tot = cnt = 0
+        for m in re.finditer(
+                rf"= ((?:\([^)]*\)|\S+)) {op}(?:-start)?\(", hlo_text):
+            parts = re.findall(r"\w+\[[\d,]*\][^,)]*", m.group(1))
+            tot += sum(shape_bytes(p) for p in parts)
+            cnt += 1
+        out[op] = (cnt, tot)
+    return out
+
+
+def test_collective_byte_volumes_match_scaling_model():
+    """docs/SCALING.md's per-step communication inventory must be
+    checkable, not narrative (VERDICT r3 #5c): at a sharded-v3-active
+    size the compiled production step's collectives carry EXACTLY the
+    modelled byte volumes —
+
+        V_halo = 3 fields * 2 sides * (wy*nx*nz_loc + wz*nx*ny_loc) * B
+        V_a2a  = 7 fields * (n^3/P) * [(py-1)/py + (pz-1)/pz] * B
+
+    (all-to-all HLO outputs carry the full local operand; the moved
+    fraction is (p-1)/p per axis, which the model already folds in)."""
+    from x3d2_tpu.cases import SolverParams, TGVCase
+    from x3d2_tpu.parallel.topo import make_sharded_step
+    from x3d2_tpu.parallel.shard_kernels import (
+        repencil_supported, sharded_transeq_v3_supported)
+
+    nx, ny, nz = 128, 256, 256
+    py = pz = 2
+    mesh = Mesh((nx, ny, nz), (2 * np.pi,) * 3,
+                ((BC.PERIODIC, BC.PERIODIC),) * 3)
+    case = TGVCase(mesh, SolverParams(Re=1600.0, time_intg="AB3",
+                                      dt=1e-3),
+                   dtype=jnp.float32, monitor_path=None, verbose=False)
+    dmesh = make_device_mesh(py, pz)
+    assert sharded_transeq_v3_supported(case.solver, dmesh)
+    assert repencil_supported(case.solver, dmesh)
+    step, sb = make_sharded_step(case, dmesh)
+    got = _collective_bytes(step.lower(sb).compile().as_text())
+
+    B = 4
+    wy, wz = 16, 64   # terms=2 halo widths (docs/SCALING.md)
+    V_halo = 3 * 2 * (wy * nx * (nz // pz) + wz * nx * (ny // py)) * B
+    cnt_p, bytes_p = got["collective-permute"]
+    assert cnt_p == 12, got          # 3 fields x 2 sides x 2 axes
+    assert bytes_p == V_halo, (bytes_p, V_halo)
+
+    P = py * pz
+    V_a2a = int(7 * (nx * ny * nz // P)
+                * ((py - 1) / py + (pz - 1) / pz) * B)
+    cnt_a, bytes_a = got["all-to-all"]
+    assert cnt_a == 14, got          # 7 fields x 2 tiled axis steps
+    moved = bytes_a * (py - 1) // py  # symmetric mesh: same per axis
+    assert moved == V_a2a, (moved, V_a2a)

@@ -97,7 +97,23 @@ loop_time("mid merged with q (3r+4w)", lambda a, b, c: mid(a, b, c)[1:],
 k1, k2 = slab[0], slab[1]
 loop_time("  k1 separate (3r+1w)", lambda a, b, c: (k1(a, b, c), b, c),
           (u, v, w), npasses=4)
-loop_time("  k2 separate (1r+3w)", lambda q: k2(q), (u,), npasses=4)
+loop_time("  k2 separate (1r+3w)", lambda q: (k2(q)[0],), (u,),
+          npasses=4)
+
+# grad WITHOUT the fused subtract (isolates the extra s-read cost)
+from x3d2_tpu.ops.pallas_poisson import make_x_apply
+d64 = ns._fp_mats64()
+gx_nosub = make_x_apply(d64["gx_i"], terms=2, parity="inv")
+loop_time("x grad plain gx_i (1r+1w)", lambda f: (gx_nosub(f),), (u,),
+          npasses=2)
+
+# --- merged 3-field x-stage kernels ------------------------------------
+if "div3" in xk:
+    loop_time("x div3 merged (3r+3w)",
+              lambda a, b, c: xk["div3"](a, b, c), (u, v, w), npasses=6)
+    loop_time("x gradsub3 merged (6r+3w)",
+              lambda a, b, c: xk["gradsub3"](a, b, c, a, b, c),
+              (u, v, w), npasses=9)
 
 # --- full production chain --------------------------------------------
 ms_full = loop_time(

@@ -160,6 +160,27 @@ class BaseCase:
                         raise
         if self._fused_ab is None:
             self._fused_ab_sp = False
+        # RK substage update fused into the final transeq sweep (same
+        # aliasing trick as AB; time_integrator.f90:166-231). The gate
+        # mirrors the AB one: a forcings hook sits between transeq and
+        # the update, so it must be the identity; species ride the
+        # unfused path (their RK update stays an XLA elementwise pass).
+        self._fused_rk = None
+        if (_os.environ.get("X3D2_FUSED_RK", "1") != "0"
+                and self.ti.kind == "RK" and not params.n_species
+                and not params.compensated
+                and type(self).forcings is BaseCase.forcings
+                and getattr(self.solver, "_transeq_v3", None) is not None):
+            from ..common import DataLoc
+            from ..ops.compact import PRECISION
+            from ..ops.pallas_kernels import make_fused_transeq_rk
+            terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
+            try:
+                self._fused_rk = make_fused_transeq_rk(
+                    self.solver.ops, self.solver.nu,
+                    mesh.dims(DataLoc.VERT), self.ti.order, terms=terms)
+            except ValueError:
+                pass
         self.monitor = Monitor(self.solver, path=monitor_path,
                                verbose=verbose)
         self._step = jax.jit(self.step_fn, donate_argnums=0)
@@ -368,6 +389,31 @@ class BaseCase:
                                                self.ti.gdt(dt, 0), istep,
                                                divs=divs)
             new = {"olds": olds}
+        elif self._fused_rk is not None:  # RK, fused substage updates
+            from ..time_integrators import RK_A, RK_B
+            fields0 = None
+            ks = []
+            order = self.ti.order
+            for istage in range(order):
+                key, sub = jax.random.split(key)
+                fields, bc_data = self.define_bc(fields, sub, istep)
+                if istage == 0:
+                    fields0 = fields
+                stage = self._fused_rk[istage]
+                tab = RK_B[order] if istage == order - 1 \
+                    else RK_A[order][istage]
+                row = ([dt * float(tab[istage])]
+                       + [dt * float(tab[j]) for j in stage.prev_nz])
+                dtc = jnp.asarray(row + [0.0] * (4 - len(row)),
+                                  self.dtype)
+                mom, rhs = stage(*fields[:3], fields0[:3], ks, dtc)
+                ks.append(rhs)
+                fields = mom + tuple(fields[3:])
+                fields, p, _ = self._substage_post(
+                    fields, bc_data, self.ti.gdt(dt, istage), istep)
+            new = {}
+            if "olds" in state:
+                new["olds"] = state["olds"]
         else:  # RK
             fields0 = None
             ks = []

@@ -171,7 +171,7 @@ def _stack_banded(op_pair, w, bs):
 
 def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
                        terms=2, ab_olds=0, halo_ext=False, xdiv=False,
-                       nbh=0, sp_nus=()):
+                       nbh=0, sp_nus=(), upd=None, base_sep=False):
     """refs layout: [acc_u, acc_v, acc_w]? + [sp_acc]*nsp? + nstream
     blocks per field * 3 + [phi stream blocks]*nsp + [old_{j,c} blocks]*
     + 4*terms matrix refs (sa, st, da, dt split parts) + [xdiv parity
@@ -190,6 +190,13 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
     With halo_ext, the l/r stream blocks come from a halo-extended shard
     (no wraparound) and the matrix stacks hold the GLOBAL banded blocks,
     indexed at b + shard offset (read from SMEM).
+
+    `upd` (default: ab_olds > 0) applies the fused time update; with
+    base_sep the update base is read from three extra operand blocks
+    (the RK step-initial fields f0, time_integrator.f90:166-231) instead
+    of the sweep's own mid blocks — u' = f0 + co[0]*rhs + sum co[j]*k_j,
+    which with olds = previous-stage derivatives is exactly the RK
+    substage update (zero-coefficient stages simply pass no olds).
 
     With xdiv (axis 0, AB-fused final sweep), the kernel ALSO emits the
     projection's forward x transforms of the updated velocities in the
@@ -218,6 +225,12 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         i += nstream
     olds = refs[i:i + 3 * ab_olds]
     i += 3 * ab_olds
+    if upd is None:
+        upd = ab_olds > 0
+    bases = None
+    if base_sep:
+        bases = refs[i:i + 3]
+        i += 3
     nparts = max(terms, 1)
     nm = 4 * nparts
     mat_refs = refs[i:i + nm]
@@ -231,7 +244,7 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         off_ref = refs[i]
         i += 1
     co_ref = None
-    if ab_olds:
+    if upd:
         co_ref = refs[i]
         i += 1
     outs = refs[i:]
@@ -293,11 +306,13 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         r = -0.5 * (conv * dq + dqd) + nu * d2q
         if accumulate:
             r = r + accs[c][...]
-        if ab_olds:
-            # fused AB update: u' = u + dt*c0*rhs + sum_j dt*c_{j+1}*old_j
-            # (time_integrators.ab_step); rhs written as the new olds[0]
+        if upd:
+            # fused time update: u' = base + dt*c0*rhs
+            # + sum_j dt*c_{j+1}*old_j (ab_step / rk_substage); rhs
+            # written as the new olds[0] / stage derivative
             outs[3 + c][...] = r.astype(outs[3 + c].dtype)
-            unew = mids[c] + co_ref[0, 0] * r
+            base_c = bases[c][...] if base_sep else mids[c]
+            unew = base_c + co_ref[0, 0] * r
             for j in range(ab_olds):
                 unew = unew + co_ref[0, 1 + j] * olds[3 * j + c][...]
             outs[c][...] = unew.astype(outs[c].dtype)
@@ -344,7 +359,7 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
 
     if nsp:
         # species rhs outputs sit after all momentum outputs
-        base = (9 if xdiv else 6) if ab_olds else 3
+        base = (9 if xdiv else 6) if upd else 3
         sl1 = [slice(None)] * 3
         sl1[axis] = slice(0, bs)
         sl2 = [slice(None)] * 3
@@ -446,7 +461,8 @@ def _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
                         terms=2, ab_olds=0, n_shards=1, ab_alias=True,
-                        xdiv_mats=None, species_nus=()):
+                        xdiv_mats=None, species_nus=(), upd=None,
+                        base_sep=False):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
 
     With species_nus, phi fields ride the same kernel (see
@@ -478,9 +494,12 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
     nsp = len(species_nus)
     if nsp > 8:
         raise ValueError("species kernel capped at 8 per call (VMEM)")
-    if ab_olds and (lane or not accumulate or halo_ext):
-        raise ValueError("AB fusion needs a non-lane single-shard "
-                         "accumulate sweep (mid blocks must be resident)")
+    if upd is None:
+        upd = ab_olds > 0
+    if (upd or ab_olds) and (lane or not accumulate or halo_ext):
+        raise ValueError("fused-update sweeps must be non-lane "
+                         "single-shard accumulate sweeps (mid blocks "
+                         "must be resident)")
     if lane and 2 * w > bs:
         raise ValueError("lane axis needs w <= bs/2")
     if lane and halo_ext and 2 * w != bs:
@@ -534,21 +553,23 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                              accumulate=accumulate, terms=terms,
                              ab_olds=ab_olds, halo_ext=halo_ext,
                              xdiv=xdiv, nbh=nb // 2,
-                             sp_nus=tuple(float(x) for x in species_nus))
+                             sp_nus=tuple(float(x) for x in species_nus),
+                             upd=upd, base_sep=base_sep)
 
     nparts = max(terms, 1)
     xspec = pl.BlockSpec((n // 2, n // 2), lambda i, j, b: (0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = ([out_spec] * (3 + nsp) if accumulate else []) \
         + fspecs * (3 + nsp) + [out_spec] * (3 * ab_olds) \
+        + ([out_spec] * 3 if base_sep else []) \
         + [sspec] * (2 * nparts) + [dspec] * (2 * nparts) \
         + [xspec] * len(xmats)
     if halo_ext:
         in_specs = in_specs + [pl.BlockSpec((1,), lambda i, j, b: (0,),
                                             memory_space=pltpu.SMEM)]
-    n_out_mom = (9 if xdiv else 6) if ab_olds else 3
+    n_out_mom = (9 if xdiv else 6) if upd else 3
     n_out = n_out_mom + nsp
-    if ab_olds:
+    if upd:
         in_specs = in_specs + [pl.BlockSpec((1, 4), lambda i, j, b: (0, 0),
                                             memory_space=pltpu.SMEM)]
         # the accumulated partial rhs aliases onto the rhs outputs, and
@@ -559,7 +580,7 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         aliases = {0: 3, 1: 4, 2: 5}
         for s in range(nsp):  # species partial rhs onto species rhs outs
             aliases[3 + s] = n_out_mom + s
-        if ab_alias:
+        if ab_alias and ab_olds:
             first_old = 3 + nsp + (3 + nsp) * nstream
             for c in range(3):
                 aliases[first_old + 3 * (ab_olds - 1) + c] = c
@@ -571,7 +592,7 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         aliases = {}
 
     def fn(u, v, w_, acc=None, olds=None, dtc=None, exts=None, off=None,
-           phis=(), sp_acc=None):
+           phis=(), sp_acc=None, base=None):
         if lane and not halo_ext:
             u, v, w_ = (jnp.roll(q, w, axis=axis) for q in (u, v, w_))
             phis = tuple(jnp.roll(q, w, axis=axis) for q in phis)
@@ -591,10 +612,12 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         if ab_olds:
             # olds: per-field (nolds,) history tuples -> flat j-major
             args += [olds[c][j] for j in range(ab_olds) for c in range(3)]
+        if base_sep:
+            args += list(base)
         args += mats + xmats
         if halo_ext:
             args += [jnp.reshape(off, (1,)).astype(jnp.int32)]
-        if ab_olds:
+        if upd:
             args += [jnp.reshape(dtc, (1, -1)).astype(u.dtype)]
         out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * n_out
         # xdiv: b-revisited full-extent div output blocks (written once)
@@ -621,7 +644,7 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         if xdiv:
             mom = (tuple(outs[:3]), tuple(outs[3:6]), tuple(outs[6:9]))
             return mom + (sp,) if nsp else mom
-        if ab_olds:
+        if upd:
             mom = (tuple(outs[:3]), tuple(outs[3:6]))
             return mom + (sp,) if nsp else mom
         return (tuple(outs[:3]), sp) if nsp else outs
@@ -921,6 +944,60 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
         return d1(u, v, w, acc=acc, olds=olds, dtc=dtc)
 
     return fn
+
+
+def make_fused_transeq_rk(solver_ops, nu, shape, order, cfgs=None,
+                          interpret=False, terms=2):
+    """Transeq + Runge-Kutta substage update in one fused chain
+    (time_integrator.f90:166-231): returns a list of per-substage
+    functions
+
+        stage_fns[i](u, v, w, f0, ks, dtc) -> ((u', v', w'), rhs)
+
+    where u,v,w are the substage-entry velocities, f0 the step-initial
+    fields (ignored at substage 0, whose base IS the entry field), ks
+    the previous stage derivatives that carry a NONZERO coefficient in
+    this substage's tableau row, and dtc the dt-scaled coefficient row
+    [fresh, ks...] (padded to 4). rhs is this substage's derivative
+    (needed by later substages; callers may drop the last one).
+
+    The classic RK1-4 tableaus (time_integrators.RK_A/RK_B) have at
+    most the FINAL substage reading history (all earlier rows touch
+    only the fresh derivative), so the non-final variants compile to
+    the ab_olds=0 fused-update sweep."""
+    from ..time_integrators import RK_A, RK_B
+    cfgs = cfgs or {}
+    d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
+                     cfgs.get(2, {}))
+    d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
+                     cfgs.get(0, {}), accumulate=True)
+
+    stage_fns = []
+    for istage in range(order):
+        last = istage == order - 1
+        tab = (RK_B[order] if last else RK_A[order][istage])
+        prev_nz = [j for j in range(istage) if tab[j] != 0.0]
+        if tab[istage] == 0.0:
+            raise ValueError("fused RK needs a nonzero fresh coefficient")
+        d1 = make_transeq_dir_v3(
+            solver_ops[1], nu, 1, shape, terms=terms, accumulate=True,
+            ab_olds=len(prev_nz), upd=True, base_sep=istage > 0,
+            ab_alias=False, interpret=interpret, **cfgs.get(1, {}))
+
+        def stage(u, v, w, f0, ks, dtc, d1=d1, prev_nz=prev_nz,
+                  istage=istage):
+            acc = d2(u, v, w)
+            acc = d0(u, v, w, acc=acc)
+            # per-field history tuples: olds[c][j] = ks[prev_nz[j]][c]
+            olds = tuple(tuple(ks[j][c] for j in prev_nz)
+                         for c in range(3))
+            return d1(u, v, w, acc=acc, olds=olds, dtc=dtc,
+                      base=(None if istage == 0 else f0))
+
+        stage.prev_nz = prev_nz
+        stage.fresh_coeff = float(tab[istage])
+        stage_fns.append(stage)
+    return stage_fns
 
 
 def transeq_v3_supported(solver, shape) -> bool:

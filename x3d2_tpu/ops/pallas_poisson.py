@@ -44,8 +44,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_BAND_TOL, VMEM_LIMIT, _dot_split, _split,
-                             banded_blocks, split_hi_lo)
+from .pallas_kernels import (_BAND_TOL, VMEM_LIMIT, _cparams,
+                             _dot_split, _split, banded_blocks,
+                             split_hi_lo)
 
 _EPS = 1e-16  # matches matmul_poisson._EPS
 
@@ -565,6 +566,15 @@ def make_pressure_slab(ns, terms=2, interpret=False):
                                  np.arange(1, nx, 2)])
         k2x, mx = k2x[x_perm], mx[x_perm]
         Tx = Tx[x_perm]
+        if _os.environ.get("X3D2_MERGED_X", "1") != "0":
+            # merged 3-field x-stage kernels: 6/9 concurrent DMA
+            # streams per grid step vs 2/3 in the per-field kernels
+            # (measured on-chip: see validation/prof_pressure_r4.log)
+            xk["div3"] = make_x_div3(d64["sx"], d64["ix"], terms=terms,
+                                     interpret=interpret)
+            xk["gradsub3"] = make_x_gradsub3(d64["gx_s"], d64["gx_i"],
+                                             terms=terms,
+                                             interpret=interpret)
     except ValueError:
         xk = {}
         for name in ("sx", "ix", "gx_s", "gx_i"):
@@ -594,7 +604,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             k1, grid=grid, in_specs=k1_specs, out_specs=cell_plane,
             out_shape=jax.ShapeDtypeStruct((nx, ny, nz), du.dtype),
             interpret=interpret,
-            compiler_params=VMEM_LIMIT,
+            compiler_params=_cparams(1),
         )(du, dv, dw, *m1, *tables)
 
     k2 = functools.partial(_grad_kernel, terms=terms, nvy=nvy, nvz=nvz,
@@ -607,7 +617,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             k2, grid=grid, in_specs=k2_specs, out_specs=[vert_plane] * 3,
             out_shape=[jax.ShapeDtypeStruct((nx, nvy, nvz), q.dtype)] * 3,
             interpret=interpret,
-            compiler_params=VMEM_LIMIT,
+            compiler_params=_cparams(1),
         )(q, *m2)
 
     # merged k1+k2: the spectral solution q stays VMEM-resident between
@@ -627,7 +637,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), du.dtype)]
             + [jax.ShapeDtypeStruct((nx, nvy, nvz), du.dtype)] * 3,
             interpret=interpret,
-            compiler_params=VMEM_LIMIT,
+            compiler_params=_cparams(1),
         )(du, dv, dw, *m1, *m2, *tables)
 
     kmid_nq = functools.partial(kmid, emit_q=False)
@@ -640,7 +650,7 @@ def make_pressure_slab(ns, terms=2, interpret=False):
             out_specs=[vert_plane] * 3,
             out_shape=[jax.ShapeDtypeStruct((nx, nvy, nvz), du.dtype)] * 3,
             interpret=interpret,
-            compiler_params=VMEM_LIMIT,
+            compiler_params=_cparams(1),
         )(du, dv, dw, *m1, *m2, *tables)
 
     mid_fn.no_q = mid_nq_fn
@@ -822,6 +832,197 @@ def _x_parity_inv_kernel(*refs, terms, sub, nk, h):
             out_ref[...] = full
 
 
+def _x_parity_fwd3_kernel(*refs, terms, nk, ho):
+    """Merged parity-split forward x apply for the THREE divergence
+    inputs: one kernel reads u, v, w (two half streams each) and emits
+    du = Sx u, dv = Ix v, dw = Ix w. Six concurrent input streams per
+    grid step give the DMA pipeline ~3x the outstanding traffic of the
+    single-field kernel (measured: balanced r+w Pallas kernels are
+    DMA-bound well below spec; more streams per step raise utilisation
+    — the 12-stream XLA AB update hits ~730 GB/s vs ~220 single-stream
+    Pallas)."""
+    nparts = max(terms, 1)
+    fa = refs[0:6:2]
+    fb = refs[1:6:2]
+    me_s = refs[6:6 + nparts]
+    mo_s = refs[6 + nparts:6 + 2 * nparts]
+    me_i = refs[6 + 2 * nparts:6 + 3 * nparts]
+    mo_i = refs[6 + 3 * nparts:6 + 4 * nparts]
+    outs = refs[6 + 4 * nparts:]
+    k = pl.program_id(2)
+    for c in range(3):
+        me, mo = (me_s, mo_s) if c == 0 else (me_i, mo_i)
+        a, b = fa[c][...], fb[c][...]
+        sh = a.shape
+        s = (a + b).reshape(sh[0], -1)
+        d = (a - b).reshape(sh[0], -1)
+        E = _mm_left(me, s, terms).reshape((ho,) + sh[1:])
+        O = _mm_left(mo, d, terms).reshape((ho,) + sh[1:])
+        out_ref = outs[c]
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[:ho] = out_ref[:ho] + E.astype(out_ref.dtype)
+            out_ref[ho:] = out_ref[ho:] + O.astype(out_ref.dtype)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:ho] = E.astype(out_ref.dtype)
+            out_ref[ho:] = O.astype(out_ref.dtype)
+
+
+def _x_parity_gradsub3_kernel(*refs, terms, nk, h):
+    """Merged parity-split inverse x apply + fused velocity correction:
+    one kernel reads the three spectral gradient fields (block-parity
+    mode halves) and u, v, w, and writes u - Gxs p_zy, v - Gxi dpdy,
+    w - Gxi dpdz — nine concurrent streams per grid step."""
+    nparts = max(terms, 1)
+    ze = refs[0:6:2]
+    zo = refs[1:6:2]
+    s_refs = refs[6:9]
+    me_s = refs[9:9 + nparts]
+    mo_s = refs[9 + nparts:9 + 2 * nparts]
+    me_i = refs[9 + 2 * nparts:9 + 3 * nparts]
+    mo_i = refs[9 + 3 * nparts:9 + 4 * nparts]
+    outs = refs[9 + 4 * nparts:]
+    k = pl.program_id(2)
+    for c in range(3):
+        me, mo = (me_s, mo_s) if c == 0 else (me_i, mo_i)
+        zec, zoc = ze[c][...], zo[c][...]
+        sh = zec.shape
+        A = _mm_left(me, zec.reshape(sh[0], -1),
+                     terms).reshape((h,) + sh[1:])
+        B = _mm_left(mo, zoc.reshape(sh[0], -1),
+                     terms).reshape((h,) + sh[1:])
+        out_ref = outs[c]
+        s_ref = s_refs[c]
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[:h] = out_ref[:h] + A.astype(out_ref.dtype)
+            out_ref[h:] = out_ref[h:] + B.astype(out_ref.dtype)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:h] = A.astype(out_ref.dtype)
+            out_ref[h:] = B.astype(out_ref.dtype)
+
+        @pl.when(k == nk - 1)
+        def _():
+            a = out_ref[:h]
+            b = out_ref[h:]
+            out_ref[...] = s_ref[...] - jnp.concatenate(
+                [a + b, a - b], axis=0)
+
+
+def make_x_div3(sx64, ix64, terms=2, t1=8, t2=128, kb=256,
+                interpret=False):
+    """Merged forward x-stage: fn(u, v, w) -> (du, dv, dw) with
+    du = (Tx Sx) u, dv = dw = (Tx Ix) v|w, block-parity output modes
+    (periodic-even x only; raises ValueError otherwise)."""
+    n_out, n_in = sx64.shape
+    if ix64.shape != (n_out, n_in):
+        raise ValueError("sx/ix must share shapes")
+    if n_in % 2 or n_out % 2:
+        raise ValueError("parity x-apply needs even extents")
+    mats = []
+    for M64 in (sx64, ix64):
+        Me, Mo = parity_split_folded(np.asarray(M64, np.float64), 0)
+        mats.append([jnp.asarray(p) for p in split_hi_lo(Me, terms)])
+        mats.append([jnp.asarray(p) for p in split_hi_lo(Mo, terms)])
+    me_s, mo_s, me_i, mo_i = mats
+    h_in = n_in // 2
+    ho = n_out // 2
+    kbp = _kblock(h_in, kb)
+    if kbp < 8:
+        kbp = h_in
+    nk = h_in // kbp
+    fa_spec = pl.BlockSpec((kbp, t1, t2), lambda i, j, k: (k, i, j),
+                           memory_space=pltpu.VMEM)
+    fb_spec = pl.BlockSpec((kbp, t1, t2),
+                           lambda i, j, k, nk=nk: (k + nk, i, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_out, t1, t2), lambda i, j, k: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    pm_spec = pl.BlockSpec((ho, kbp), lambda i, j, k: (0, k),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_x_parity_fwd3_kernel, terms=terms, nk=nk,
+                             ho=ho)
+    nparts = max(terms, 1)
+
+    def fn(u, v, w):
+        ny, nz = u.shape[1], u.shape[2]
+        if ny % t1 or nz % t2 or ny < t1 or nz < t2:
+            raise ValueError(f"x-div3 tiling ({t1},{t2}) cannot cover "
+                             f"({ny},{nz})")
+        grid = (ny // t1, nz // t2, nk)
+        specs = [fa_spec, fb_spec] * 3 + [pm_spec] * (4 * nparts)
+        return pl.pallas_call(
+            kern, grid=grid, in_specs=specs, out_specs=[out_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n_out, ny, nz),
+                                            u.dtype)] * 3,
+            interpret=interpret,
+            compiler_params=VMEM_LIMIT,
+        )(u, u, v, v, w, w, *me_s, *mo_s, *me_i, *mo_i)
+
+    return fn
+
+
+def make_x_gradsub3(gxs64, gxi64, terms=2, t1=8, t2=128, kb=256,
+                    interpret=False):
+    """Merged inverse x-stage + correction: fn(p_zy, dpdy, dpdz, u, v, w)
+    -> (u - Gxs p_zy, v - Gxi dpdy, w - Gxi dpdz). Spectral inputs in
+    block-parity mode order (periodic-even x only)."""
+    n_out, n_in = gxs64.shape
+    if gxi64.shape != (n_out, n_in):
+        raise ValueError("gxs/gxi must share shapes")
+    if n_in % 2 or n_out % 2:
+        raise ValueError("parity x-apply needs even extents")
+    mats = []
+    for M64 in (gxs64, gxi64):
+        Me, Mo = parity_split_folded(np.asarray(M64, np.float64), 1)
+        mats.append([jnp.asarray(p) for p in split_hi_lo(Me, terms)])
+        mats.append([jnp.asarray(p) for p in split_hi_lo(Mo, terms)])
+    me_s, mo_s, me_i, mo_i = mats
+    h_in = n_in // 2
+    h = n_out // 2
+    kbp = _kblock(h_in, kb)
+    if kbp < 8:
+        kbp = h_in
+    nk = h_in // kbp
+    ze_spec = pl.BlockSpec((kbp, t1, t2), lambda i, j, k: (k, i, j),
+                           memory_space=pltpu.VMEM)
+    zo_spec = pl.BlockSpec((kbp, t1, t2),
+                           lambda i, j, k, nk=nk: (k + nk, i, j),
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((n_out, t1, t2), lambda i, j, k: (0, i, j),
+                          memory_space=pltpu.VMEM)
+    pm_spec = pl.BlockSpec((h, kbp), lambda i, j, k: (0, k),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_x_parity_gradsub3_kernel, terms=terms,
+                             nk=nk, h=h)
+    nparts = max(terms, 1)
+
+    def fn(pzy, dpdy, dpdz, u, v, w):
+        ny, nz = u.shape[1], u.shape[2]
+        if ny % t1 or nz % t2 or ny < t1 or nz < t2:
+            raise ValueError(f"x-gradsub3 tiling ({t1},{t2}) cannot "
+                             f"cover ({ny},{nz})")
+        grid = (ny // t1, nz // t2, nk)
+        specs = [ze_spec, zo_spec] * 3 + [s_spec] * 3 \
+            + [pm_spec] * (4 * nparts)
+        return pl.pallas_call(
+            kern, grid=grid, in_specs=specs, out_specs=[s_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n_out, ny, nz),
+                                            u.dtype)] * 3,
+            interpret=interpret,
+            compiler_params=VMEM_LIMIT,
+        )(pzy, pzy, dpdy, dpdy, dpdz, dpdz, u, v, w,
+          *me_s, *mo_s, *me_i, *mo_i)
+
+    return fn
+
+
 def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
                  interpret=False, parity=None):
     """Build fn(f[, s]) applying the dense (n_out, n_in) matrix along
@@ -917,4 +1118,299 @@ def make_x_apply(M64, terms=2, sub=False, t1=8, t2=128, kb=256,
             compiler_params=VMEM_LIMIT,
         )(*args, *parts)
 
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# 3-stage projection pipeline (round 4): slab A (div y/z) -> x kernel B
+# (forward x + spectral solve + inverse x, all in VMEM) -> slab C
+# (grad z/y + fused velocity correction).
+#
+# vs the x-first chain (div3 -> mid -> gradsub3, 21 HBM passes), the
+# transpose boundaries carry TWO fields each instead of three and the
+# spectral solution q never touches HBM:
+#
+#   A: u, v, w          -> a = Ty Iz Iy u,  e = Ty (Iz Sy v + Sz Iy w)
+#   B: a, e             -> X = Gxs q,  Y = Gxi q,   q = -(Sx a + Ix e)/waves
+#   C: X, Y, u, v, w    -> u - Gyi Gzi X,  v - Gys Gzi Y,  w - Gyi Gzs Y
+#
+# 17 passes total (3r+2w, 2r+2w, 5r+3w) and two fewer x-stage parity
+# applies (B does 4; the x-first chain needs 6). Only the full fast path
+# is supported (banded+butterfly y, parity z and x, no stretching) —
+# exactly the production 512^3 configuration; everything else keeps the
+# mid-kernel chain. Matches the projection pipeline of
+# /root/reference/src/solver.f90:693-739.
+# ---------------------------------------------------------------------------
+
+
+def _pipe_a_kernel(*refs, terms, nb, bs, w):
+    """refs: u, v, w planes + [biy, bsy, te, to, ize, izo, sze, szo]
+    parts + outs a, e."""
+    nparts = max(terms, 1)
+    u_ref, v_ref, w_ref = refs[:3]
+    m = refs[3:3 + 8 * nparts]
+    biy = m[0:nparts]
+    bsy = m[nparts:2 * nparts]
+    te = m[2 * nparts:3 * nparts]
+    to = m[3 * nparts:4 * nparts]
+    ize = m[4 * nparts:5 * nparts]
+    izo = m[5 * nparts:6 * nparts]
+    sze = m[6 * nparts:7 * nparts]
+    szo = m[7 * nparts:8 * nparts]
+    a_ref, e_ref = refs[3 + 8 * nparts:]
+    p1 = _banded_left(biy, u_ref[0], nb, bs, w, terms)
+    p2 = _banded_left(bsy, v_ref[0], nb, bs, w, terms)
+    p3 = _banded_left(biy, w_ref[0], nb, bs, w, terms)
+    z1 = _psplit_right(p1, ize, izo, terms)
+    z2 = _psplit_right(p2, ize, izo, terms)
+    z3 = _psplit_right(p3, sze, szo, terms)
+    a = _bfly_fwd(te, to, z1, terms)
+    e = _bfly_fwd(te, to, z2 + z3, terms)
+    a_ref[0] = a.astype(a_ref.dtype)
+    e_ref[0] = e.astype(e_ref.dtype)
+
+
+def _pipe_b_kernel(*refs, terms, h):
+    """refs: a half-streams (fa, fb), e half-streams + fwd parity parts
+    (me_sx, mo_sx, me_ix, mo_ix) + inv parity parts (me_gs, mo_gs,
+    me_gi, mo_gi) + table tiles (A, B, Myz) + x-mode columns (k2x, tx2,
+    mx as (nx, 1)) + outs X, Y. One grid step per (y, z) tile: the full
+    x extent is resident, so forward transform, solve and both inverse
+    transforms happen without q ever reaching HBM."""
+    nparts = max(terms, 1)
+    fa_a, fb_a, fa_e, fb_e = refs[:4]
+    m = refs[4:4 + 8 * nparts]
+    me_sx = m[0:nparts]
+    mo_sx = m[nparts:2 * nparts]
+    me_ix = m[2 * nparts:3 * nparts]
+    mo_ix = m[3 * nparts:4 * nparts]
+    me_gs = m[4 * nparts:5 * nparts]
+    mo_gs = m[5 * nparts:6 * nparts]
+    me_gi = m[6 * nparts:7 * nparts]
+    mo_gi = m[7 * nparts:8 * nparts]
+    A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref = \
+        refs[4 + 8 * nparts:4 + 8 * nparts + 6]
+    X_ref, Y_ref = refs[4 + 8 * nparts + 6:]
+    aa, ab = fa_a[...], fb_a[...]
+    ea, eb = fa_e[...], fb_e[...]
+    sh = aa.shape
+    t12 = sh[1] * sh[2]
+    sa = (aa + ab).reshape(h, t12)
+    da = (aa - ab).reshape(h, t12)
+    se = (ea + eb).reshape(h, t12)
+    de = (ea - eb).reshape(h, t12)
+    Fe = _mm_left(me_sx, sa, terms) + _mm_left(me_ix, se, terms)
+    Fo = _mm_left(mo_sx, da, terms) + _mm_left(mo_ix, de, terms)
+    F = jnp.concatenate([Fe, Fo], axis=0)           # (nx, t12)
+    At = A_ref[...].reshape(1, t12)
+    Bt = B_ref[...].reshape(1, t12)
+    Mt = Myz_ref[...].reshape(1, t12)
+    waves = k2x_ref[...] * At + tx2_ref[...] * Bt   # (nx, t12)
+    ok = jnp.abs(waves) >= _EPS
+    inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
+    q = F * inv * (1.0 - mx_ref[...] * Mt)
+    qe, qo = q[:h], q[h:]
+    Xa = _mm_left(me_gs, qe, terms)
+    Xb = _mm_left(mo_gs, qo, terms)
+    X = jnp.concatenate([Xa + Xb, Xa - Xb], axis=0)
+    Ya = _mm_left(me_gi, qe, terms)
+    Yb = _mm_left(mo_gi, qo, terms)
+    Y = jnp.concatenate([Ya + Yb, Ya - Yb], axis=0)
+    X_ref[...] = X.reshape((2 * h,) + sh[1:]).astype(X_ref.dtype)
+    Y_ref[...] = Y.reshape((2 * h,) + sh[1:]).astype(Y_ref.dtype)
+
+
+def _pipe_c_kernel(*refs, terms, nvz, nb, bs, w):
+    """refs: X, Y planes + u, v, w planes + [gie, gio (gz_i inv parity),
+    GE, GO (stacked gz_is inv parity), tet, tot, wvec, bgiy, bgsy] parts
+    + outs un, vn, wn."""
+    nparts = max(terms, 1)
+    X_ref, Y_ref = refs[:2]
+    u_ref, v_ref, w_ref = refs[2:5]
+    m = refs[5:5 + 8 * nparts + 1]
+    gie = m[0:nparts]
+    gio = m[nparts:2 * nparts]
+    GE = m[2 * nparts:3 * nparts]
+    GO = m[3 * nparts:4 * nparts]
+    tet = m[4 * nparts:5 * nparts]
+    tot = m[5 * nparts:6 * nparts]
+    bgiy = m[6 * nparts:7 * nparts]
+    bgsy = m[7 * nparts:8 * nparts]
+    wv_ref = m[8 * nparts]
+    outs = refs[5 + 8 * nparts + 1:]
+    X = X_ref[0]
+    Y = Y_ref[0]
+    h = X.shape[1] // 2
+    dn = (((1,), (1,)), ((), ()))
+    # z stages (inverse parity): px = Gzi X; (pzY | dzY) = (Gzi | Gzs) Y
+    pxa = _dot_split(_split(X[:, :h], terms),
+                     tuple(r[...] for r in gie), dn)
+    pxb = _dot_split(_split(X[:, h:], terms),
+                     tuple(r[...] for r in gio), dn)
+    px = jnp.concatenate([pxa + pxb, pxa - pxb], axis=1)  # (ny, nvz)
+    A2 = _dot_split(_split(Y[:, :h], terms),
+                    tuple(r[...] for r in GE), dn)        # (ny, 2hz)
+    B2 = _dot_split(_split(Y[:, h:], terms),
+                    tuple(r[...] for r in GO), dn)
+    hz = nvz // 2
+    ai, as_ = A2[:, :hz], A2[:, hz:]
+    bi, bs_ = B2[:, :hz], B2[:, hz:]
+    pzY = jnp.concatenate([ai + bi, ai - bi], axis=1)     # Gzi Y
+    dzY = jnp.concatenate([as_ + bs_, as_ - bs_], axis=1)  # Gzs Y
+    # one wide inverse y butterfly over [Gzi X | Gzs Y | Gzi Y]: the
+    # first two thirds feed the SHARED banded Giy, the last third Gsy
+    wide = jnp.concatenate([px, dzY, pzY], axis=1)        # (ny, 3nvz)
+    GH = _bfly_inv(tet, tot, wv_ref, wide, terms)
+    both = _banded_left(bgiy, GH[:, :2 * nvz], nb, bs, w, terms)
+    dpdx = both[:, :nvz]
+    dpdz = both[:, nvz:]
+    dpdy = _banded_left(bgsy, GH[:, 2 * nvz:], nb, bs, w, terms)
+    outs[0][0] = (u_ref[0] - dpdx).astype(outs[0].dtype)
+    outs[1][0] = (v_ref[0] - dpdy).astype(outs[1].dtype)
+    outs[2][0] = (w_ref[0] - dpdz).astype(outs[2].dtype)
+
+
+def pipe3_supported(ns, terms=3) -> bool:
+    """The 3-stage pipeline serves exactly the production fast path:
+    slab-supported mesh, all axes periodic-even (banded+butterfly y,
+    parity z and x), square operators."""
+    from ..common import DataLoc
+    if not slab_pressure_supported(ns, terms):
+        return False
+    po = ns.poisson
+    if po.folded:
+        return False
+    nx, ny, nz = po.nc
+    nv = ns.mesh.dims(DataLoc.VERT)
+    oy = ns.ops[1]
+    return (nv == (nx, ny, nz) and nx % 16 == 0 and ny % 16 == 0
+            and nz % 16 == 0 and ny % 64 == 0
+            and oy.interpl_v2p.n_out == oy.interpl_v2p.n_in)
+
+
+def make_pressure_pipe3(ns, terms=2, t1=8, t2=128, interpret=False):
+    """Build fn(u, v, w) -> (u', v', w') — the full keep_pressure=False
+    projection as the 3-kernel pipeline described above. Raises
+    ValueError when the configuration is outside the fast path."""
+    from ..common import DataLoc
+    po = ns.poisson
+    nx, ny, nz = po.nc
+    nvx, nvy, nvz = ns.mesh.dims(DataLoc.VERT)
+    if not pipe3_supported(ns, terms):
+        raise ValueError("pipe3 needs the periodic-even fast path")
+    d64 = ns._fp_mats64()
+    oy = ns.ops[1]
+    bw = 32 if terms >= 3 else 16
+    bbs = 64
+    nb = ny // bbs
+    bmats = {}
+    for key, op in (("iy", oy.interpl_v2p), ("sy", oy.stagder_v2p),
+                    ("giy", oy.interpl_p2v), ("gsy", oy.stagder_p2v)):
+        bmats[key] = banded_blocks(op, bw, bbs, tol=_BAND_TOL)
+    Teb, Tob, wvec = parity_split(ny)
+    Ize, Izo = parity_split_folded(d64["iz"], 0)
+    Sze, Szo = parity_split_folded(d64["sz"], 0)
+    Gie, Gio = parity_split_folded(d64["gz_i"], 1)
+    Gse, Gso = parity_split_folded(d64["gz_s"], 1)
+    # stacked rows: (Gzi | Gzs) halves of Y in one dot (_grad_body bfz)
+    GEm = np.concatenate([Gie, Gse], axis=0)
+    GOm = np.concatenate([Gio, Gso], axis=0)
+    SxE, SxO = parity_split_folded(d64["sx"], 0)
+    IxE, IxO = parity_split_folded(d64["ix"], 0)
+    GsE, GsO = parity_split_folded(d64["gx_s"], 1)
+    GiE, GiO = parity_split_folded(d64["gx_i"], 1)
+
+    def parts(M):
+        return [jnp.asarray(p) for p in split_hi_lo(M, terms)]
+
+    # --- kernel A ---------------------------------------------------------
+    mA = (parts(bmats["iy"]) + parts(bmats["sy"]) + parts(Teb)
+          + parts(Tob) + parts(Ize) + parts(Izo) + parts(Sze)
+          + parts(Szo))
+    plane = _plane_spec(ny, nz)
+    kA = functools.partial(_pipe_a_kernel, terms=terms, nb=nb, bs=bbs,
+                           w=bw)
+    a_specs = [plane] * 3 + [_const_spec(p.shape) for p in mA]
+
+    def a_fn(u, v, w):
+        return pl.pallas_call(
+            kA, grid=(nx,), in_specs=a_specs, out_specs=[plane] * 2,
+            out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * 2,
+            interpret=interpret, compiler_params=_cparams(1),
+        )(u, v, w, *mA)
+
+    # --- kernel B ---------------------------------------------------------
+    # solve tables in the block-parity (x, y, z) mode orderings
+    q_perm = np.concatenate([np.arange(0, ny, 2), np.arange(1, ny, 2)])
+    z_perm = np.concatenate([np.arange(0, nz, 2), np.arange(1, nz, 2)])
+    x_perm = np.concatenate([np.arange(0, nx, 2), np.arange(1, nx, 2)])
+    A = np.asarray(po.tab_A, np.float64)[q_perm][:, z_perm]
+    B = np.asarray(po.tab_B, np.float64)[q_perm][:, z_perm]
+    if po._zero_idx is not None:
+        mxv = ((np.arange(nx) == nx // 2).astype(np.float64)
+               if 0 in po._zero_idx else np.ones(nx))
+        myv = ((np.arange(ny) == ny // 2).astype(np.float64)
+               if 1 in po._zero_idx else np.ones(ny))
+        mzv = ((np.arange(nz) == nz // 2).astype(np.float64)
+               if 2 in po._zero_idx else np.ones(nz))
+        Myz = np.outer(myv, mzv)[q_perm][:, z_perm]
+    else:
+        mxv = np.zeros(nx)
+        Myz = np.zeros((ny, nz))
+    k2x = po.k2_1d[0][x_perm]
+    tx2 = (po.T_1d[0] ** 2)[x_perm]
+    mxv = mxv[x_perm]
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    tabs_dev = [f32(A), f32(B), f32(Myz), f32(k2x.reshape(nx, 1)),
+                f32(tx2.reshape(nx, 1)), f32(mxv.reshape(nx, 1))]
+    mB = (parts(SxE) + parts(SxO) + parts(IxE) + parts(IxO)
+          + parts(GsE) + parts(GsO) + parts(GiE) + parts(GiO))
+    h = nx // 2
+    fa_spec = pl.BlockSpec((h, t1, t2), lambda i, j: (0, i, j),
+                           memory_space=pltpu.VMEM)
+    fb_spec = pl.BlockSpec((h, t1, t2), lambda i, j: (1, i, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((nx, t1, t2), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((t1, t2), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((nx, 1), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    kB = functools.partial(_pipe_b_kernel, terms=terms, h=h)
+    b_specs = ([fa_spec, fb_spec] * 2
+               + [_const_spec(p.shape) for p in mB]
+               + [tile_spec] * 3 + [col_spec] * 3)
+
+    def b_fn(a, e):
+        grid = (ny // t1, nz // t2)
+        return pl.pallas_call(
+            kB, grid=grid, in_specs=b_specs, out_specs=[out_spec] * 2,
+            out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), a.dtype)] * 2,
+            interpret=interpret, compiler_params=_cparams(2),
+        )(a, a, e, e, *mB, *tabs_dev)
+
+    # --- kernel C ---------------------------------------------------------
+    w_perm = np.concatenate([wvec[0::2], wvec[1::2]])
+    mC = (parts(Gie) + parts(Gio) + parts(GEm) + parts(GOm)
+          + parts(Teb.T) + parts(Tob.T) + parts(bmats["giy"])
+          + parts(bmats["gsy"])
+          + [jnp.asarray(w_perm.reshape(ny, 1), jnp.float32)])
+    kC = functools.partial(_pipe_c_kernel, terms=terms, nvz=nvz, nb=nb,
+                           bs=bbs, w=bw)
+    c_specs = [plane] * 2 + [plane] * 3 \
+        + [_const_spec(np.asarray(p).shape) for p in mC]
+
+    def c_fn(X, Y, u, v, w):
+        return pl.pallas_call(
+            kC, grid=(nx,), in_specs=c_specs, out_specs=[plane] * 3,
+            out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * 3,
+            interpret=interpret, compiler_params=_cparams(1),
+        )(X, Y, u, v, w, *mC)
+
+    def fn(u, v, w):
+        a, e = a_fn(u, v, w)
+        X, Y = b_fn(a, e)
+        return tuple(c_fn(X, Y, u, v, w))
+
+    fn.a_fn, fn.b_fn, fn.c_fn = a_fn, b_fn, c_fn
     return fn

@@ -55,10 +55,26 @@ def shard_operator_blocks(op: CompactOp, n_shards: int, w: int = 32,
         rows = M[s * ro:(s + 1) * ro]
         cols = np.arange(s * ci - w, (s + 1) * ci + w)
         if op.periodic:
-            blocks[s] = rows[:, cols % n_in]
+            gcols = cols % n_in
+            blk = rows[:, gcols].copy()
+            # wide windows (n_loc + 2w > n_global) wrap past the whole
+            # domain: a global column then appears at SEVERAL window
+            # positions, and keeping the entry at each would double-count
+            # it in the apply (measured 2.6e-7 transeq error at f64
+            # w=48 with n_loc=64 before this fix; O(1) at w=64). Keep
+            # each entry at its first occurrence only — the ext operand
+            # carries identical values at the duplicates, so the apply
+            # is exact either way.
+            seen = set()
+            for j, g in enumerate(gcols):
+                if g in seen:
+                    blk[:, j] = 0.0
+                else:
+                    seen.add(g)
+            blocks[s] = blk
             # account for entries outside the halo window (truncated)
             mask = np.ones(n_in, bool)
-            mask[cols % n_in] = False
+            mask[gcols] = False
             dropped = max(dropped, np.abs(rows[:, mask]).max(initial=0.0))
         else:
             valid = (cols >= 0) & (cols < n_in)

@@ -176,6 +176,16 @@ class NavierStokes:
                 terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
                 object.__setattr__(ns, "_slab_pressure",
                                    make_pressure_slab(ns, terms=terms))
+                from .ops.pallas_poisson import (make_pressure_pipe3,
+                                                 pipe3_supported)
+                if (pipe3_supported(ns, terms)
+                        and _os.environ.get("X3D2_PIPE3", "1") != "0"):
+                    # 3-stage projection pipeline (keep_pressure=False
+                    # fast path): 17 HBM passes vs the x-first chain's
+                    # 21, q never leaves VMEM (see pallas_poisson.py)
+                    object.__setattr__(ns, "_pipe_pressure",
+                                       make_pressure_pipe3(ns,
+                                                           terms=terms))
         return ns
 
     # ------------------------------------------------------------------
@@ -515,10 +525,21 @@ class NavierStokes:
         xk = slab[2]
         if divs is not None:
             du, dv, dw = divs
+        elif "div3" in xk:
+            # merged 3-field x-stage kernel (one pallas_call, 6 streams)
+            du, dv, dw = xk["div3"](u, v, w)
         else:
             du = xk["sx"](u)
             dv = xk["ix"](v)
             dw = xk["ix"](w)
+        import os as _os
+        if _os.environ.get("X3D2_MID_SPLIT", "0") == "1":
+            # A/B experiment: k1+k2 as separate pallas_calls (re-adds
+            # the q HBM round-trip but gains inter-kernel DMA/compute
+            # overlap, which on-chip chains recover ~40% of isolated
+            # kernel time — validation/prof_pressure_r4b.log)
+            q = slab[0](du, dv, dw)
+            return ((q if want_q else None),) + tuple(slab[1](q))
         if not want_q and hasattr(slab[3], "no_q"):
             return (None,) + tuple(slab[3].no_q(du, dv, dw))
         return slab[3](du, dv, dw)
@@ -534,6 +555,14 @@ class NavierStokes:
             # sharded: repencilled slab projection (2DECOMP analogue,
             # parallel/shard_kernels.py)
             return rp(u, v, w, keep_pressure)
+        pipe = getattr(self, "_pipe_pressure", None)
+        if (pipe is not None and divs is None and not keep_pressure
+                and not getattr(self, "_halo_mode", False)
+                and self.poisson.stretch_solver is None):
+            # 3-stage pipeline: slab div -> x+solve kernel -> slab
+            # grad+correction (pallas_poisson.make_pressure_pipe3)
+            un, vn, wn = pipe(u, v, w)
+            return un, vn, wn, None
         slab = getattr(self, "_slab_pressure", None)
         if (slab is not None and not getattr(self, "_halo_mode", False)
                 and self.poisson.stretch_solver is None):
@@ -541,9 +570,12 @@ class NavierStokes:
             q, p_zy, dpdy_s, dpdz_s = self._slab_mid(
                 u, v, w, want_q=keep_pressure, divs=divs)
             xk = slab[2]
-            un = xk["gx_s_sub"](p_zy, u)
-            vn = xk["gx_i_sub"](dpdy_s, v)
-            wn = xk["gx_i_sub"](dpdz_s, w)
+            if "gradsub3" in xk:
+                un, vn, wn = xk["gradsub3"](p_zy, dpdy_s, dpdz_s, u, v, w)
+            else:
+                un = xk["gx_s_sub"](p_zy, u)
+                vn = xk["gx_i_sub"](dpdy_s, v)
+                wn = xk["gx_i_sub"](dpdz_s, w)
             # q is None when not kept: the caller carries its previous
             # pressure state (p is diagnostic — never a step input)
             p = q
