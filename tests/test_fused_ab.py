@@ -61,12 +61,11 @@ def test_fused_ab_matches_separate(order):
         assert err < 1e-5, f"{k}: {err:.2e}"
 
 
-@pytest.mark.parametrize("merged", [False, True])
-def test_fused_ab_with_species_matches_separate(merged):
+def test_fused_ab_with_species_matches_separate():
     """Species-active fused-AB step (momentum in-kernel AB + phi XLA AB
-    on the kernel species RHS — either the standalone species sweeps or
-    the merged momentum+species chain) vs the separate transeq + ab_step
-    path over all four variables, covering the AB3 startup rows."""
+    on the standalone v3 species-sweep RHS) vs the separate
+    transeq + ab_step path over all four variables, covering the AB3
+    startup rows."""
     def _sp_case():
         mesh = Mesh(SHAPE, (2 * np.pi,) * 3,
                     ((BC.PERIODIC, BC.PERIODIC),) * 3)
@@ -86,11 +85,8 @@ def test_fused_ab_with_species_matches_separate(merged):
         object.__setattr__(c.solver, "_transeq_v3", v3)
         object.__setattr__(c.solver, "_species_v3", spk)
     assert ca._fused_ab is None
-    sp_nus = cb.solver.nu_species if merged else ()
     cb._fused_ab = make_fused_transeq_ab_v3(cb.solver.ops, nu, SHAPE,
-                                            nolds=2, interpret=True,
-                                            species_nus=sp_nus)
-    cb._fused_ab_sp = merged
+                                            nolds=2, interpret=True)
     sa = ca.initial_state()
     sb = cb.initial_state()
     sa = ca.step_fn(sa)
@@ -108,52 +104,6 @@ def test_fused_ab_with_species_matches_separate(merged):
     for k in ("u", "v", "w", "phi"):
         err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
         assert err < 1e-5 * uscale, f"{k}: {err:.2e} vs {uscale:.2e}"
-
-
-def test_fused_ab_xdiv_chain_with_species():
-    """The AB+xdiv chain with species riding: velocities/rhs/divs match
-    the species-free xdiv chain, species rhs matches the standalone
-    species chain."""
-    from x3d2_tpu.ops.pallas_kernels import make_fused_species_v3
-    import jax
-    NUS = (1 / 1600,)
-    mesh = Mesh(SHAPE, (2 * np.pi,) * 3,
-                ((BC.PERIODIC, BC.PERIODIC),) * 3)
-    from x3d2_tpu.solver import NavierStokes
-    ns = NavierStokes.build(mesh, 1 / 1600, dtype=jnp.float32,
-                            nu_species=NUS)
-    d64 = ns._fp_mats64()
-    f_plain = make_fused_transeq_ab_v3(ns.ops, ns.nu, SHAPE, nolds=2,
-                                       interpret=True,
-                                       xdiv=(d64["sx"], d64["ix"]))
-    f_sp = make_fused_transeq_ab_v3(ns.ops, ns.nu, SHAPE, nolds=2,
-                                    interpret=True,
-                                    xdiv=(d64["sx"], d64["ix"]),
-                                    species_nus=NUS)
-    spk = make_fused_species_v3(ns.ops, NUS, SHAPE, interpret=True)
-    rng = np.random.default_rng(5)
-    u, v, w = (jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
-               for _ in range(3))
-    phi = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
-    key = jax.random.PRNGKey(1)
-    olds = tuple(
-        tuple(0.1 * jax.random.normal(jax.random.fold_in(key, 10 * c + j),
-                                      SHAPE, jnp.float32)
-              for j in range(2))
-        for c in range(3))
-    dtc = jnp.asarray([1e-3, -5e-4, 2e-4], jnp.float32)
-    mom_a, rhs_a, divs_a = f_plain(u, v, w, olds, dtc)
-    mom_b, rhs_b, divs_b, sp = f_sp(u, v, w, olds, dtc, phis=(phi,))
-    for a, b, nm in (list(zip(mom_a, mom_b, "uvw"))
-                     + list(zip(divs_a, divs_b, ("du", "dv", "dw")))
-                     + [(rhs_a[1], rhs_b[1], "rhs_v")]):
-        scale = float(jnp.max(jnp.abs(a))) + 1e-30
-        err = float(jnp.max(jnp.abs(a - b)))
-        assert err < 1e-6 * scale, f"{nm}: {err:.2e}"
-    ref = spk((phi,), u, v, w)[0]
-    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
-    err = float(jnp.max(jnp.abs(sp[0] - ref)))
-    assert err < 3e-5 * scale, f"species rhs: {err:.2e}"
 
 
 def test_fused_ab_xdiv_chain():

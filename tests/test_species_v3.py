@@ -105,48 +105,6 @@ def test_fused_species_chain_highest_terms3(setup):
         assert err < 5e-7 * scale, f"species {s}: {err:.2e}"
 
 
-def test_merged_transeq_species_chain(setup):
-    """Merged momentum+species sweeps (phi rides the momentum kernels)
-    vs the separate operator paths for both variable sets."""
-    from x3d2_tpu.ops.pallas_kernels import make_fused_transeq_v3
-    ns, comps, phis = setup
-    fn = make_fused_transeq_v3(ns.ops, ns.nu, SHAPE, interpret=True,
-                               species_nus=NUS)
-    mom, sp = fn(*comps, phis)
-    want_m = ns.transeq(*comps)
-    for g, e in zip(mom, want_m):
-        scale = float(jnp.max(jnp.abs(e))) + 1e-30
-        err = float(jnp.max(jnp.abs(g - e)))
-        assert err < 5e-5 * scale, f"momentum: {err:.2e}"
-    refs = _ref_rhs(ns, phis, comps)
-    for s, ref in enumerate(refs):
-        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
-        err = float(jnp.max(jnp.abs(sp[s] - ref)))
-        assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
-
-
-def test_transeq_with_species_dispatch(setup):
-    """solver.transeq_with_species: merged-chain dispatch matches the
-    separate paths when the merged kernels are injected."""
-    from x3d2_tpu.ops.pallas_kernels import make_fused_transeq_v3
-    ns, comps, phis = setup
-    phi = jnp.stack(phis)
-    mom0, sp0 = ns.transeq_with_species(*comps, phi)   # operator path
-    object.__setattr__(ns, "_transeq_sp_v3",
-                       make_fused_transeq_v3(ns.ops, ns.nu, SHAPE,
-                                             interpret=True,
-                                             species_nus=NUS))
-    try:
-        mom1, sp1 = ns.transeq_with_species(*comps, phi)
-    finally:
-        object.__setattr__(ns, "_transeq_sp_v3", None)
-    for g, e in zip(mom1, mom0):
-        scale = float(jnp.max(jnp.abs(e))) + 1e-30
-        assert float(jnp.max(jnp.abs(g - e))) < 5e-5 * scale
-    scale = float(jnp.max(jnp.abs(sp0))) + 1e-30
-    assert float(jnp.max(jnp.abs(sp1 - sp0))) < 5e-5 * scale
-
-
 def test_sharded_species_matches_operator(setup):
     """Sharded species sweeps (shard_map + ppermute halos, interpret
     mode) vs the global operator path on the virtual CPU device mesh —
@@ -173,64 +131,24 @@ def test_sharded_species_matches_operator(setup):
         assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
 
 
-def test_sharded_merged_chain_matches_operator():
-    """Sharded merged momentum+species chain (one ppermute round per
-    sweep covers all fields) vs the global operator paths."""
-    from x3d2_tpu.parallel.topo import make_device_mesh
-    from x3d2_tpu.parallel.shard_kernels import make_sharded_transeq_v3
-    dims = (128, 256, 256)
-    mesh = Mesh(dims, (2 * np.pi,) * 3,
-                ((BC.PERIODIC, BC.PERIODIC),) * 3)
-    ns = NavierStokes.build(mesh, 1 / 1600, dtype=jnp.float32,
-                            nu_species=NUS)
-    rng = np.random.default_rng(13)
-    comps = tuple(jnp.asarray(rng.standard_normal(dims), jnp.float32)
-                  for _ in range(3))
-    phis = tuple(jnp.asarray(rng.standard_normal(dims), jnp.float32)
-                 for _ in range(2))
-    dmesh = make_device_mesh(2, 2)
-    fn = make_sharded_transeq_v3(ns, dmesh, terms=2, interpret=True,
-                                 species_nus=NUS)
-    mom, sp = jax.jit(lambda p, u, v, w: fn(u, v, w, p))(phis, *comps)
-    for g, e in zip(mom, ns.transeq(*comps)):
-        scale = float(jnp.max(jnp.abs(e))) + 1e-30
-        err = float(jnp.max(jnp.abs(g - e)))
-        assert err < 5e-5 * scale, f"momentum: {err:.2e}"
-    for s, ref in enumerate(_ref_rhs(ns, phis, comps)):
-        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
-        err = float(jnp.max(jnp.abs(sp[s] - ref)))
-        assert err < 5e-5 * scale, f"species {s}: {err:.2e}"
-
-
 def test_sharded_step_wires_species_kernels(monkeypatch):
     """make_sharded_step must select the standalone sharded species
-    kernels by default, and the merged momentum+species chain when
-    X3D2_MERGED_SPECIES=1 opts in (the merged chain measured slower
-    on-chip — see the solver.py gate — so it is opt-in)."""
+    kernels (the merged momentum+species chain measured 0.63x on-chip
+    in round 3 and was removed)."""
     from x3d2_tpu.cases import SolverParams, TGVCase
     from x3d2_tpu.parallel.topo import make_device_mesh, make_sharded_step
     mesh = Mesh((128, 256, 256), (2 * np.pi,) * 3,
                 ((BC.PERIODIC, BC.PERIODIC),) * 3)
     params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
                           n_species=2, pr_species=(0.7, 1.0))
-    # the knob is documented for interactive use — clear any inherited
-    # value so the default-path assertion below holds in any shell
-    monkeypatch.delenv("X3D2_MERGED_SPECIES", raising=False)
     case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                    verbose=False)
     dmesh = make_device_mesh(2, 2)
     make_sharded_step(case, dmesh)
     ns = case._sharded_solver   # the solver the sharded step wired
-    assert getattr(ns, "_transeq_sp_v3", None) is None   # opt-in only
     assert getattr(ns, "_species_v3", None) is not None
-    monkeypatch.setenv("X3D2_MERGED_SPECIES", "1")
-    case2 = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
-                    verbose=False)
-    make_sharded_step(case2, dmesh)
-    assert getattr(case2._sharded_solver, "_transeq_sp_v3",
-                   None) is not None
     # the caller's case/solver stay untouched (copies)
-    assert getattr(case.solver, "_transeq_sp_v3", None) is None
+    assert getattr(case.solver, "_species_v3", None) is None
 
 
 def test_sharded_species_rejects_untileable():

@@ -14,11 +14,6 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-# the merged momentum+species chain is opt-in (measured slower on-chip);
-# force it on here so this tool always reproduces the merged-vs-separate
-# measurement that justifies the gate
-os.environ.setdefault("X3D2_MERGED_SPECIES", "1")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -63,23 +58,8 @@ def loop_time(label, f, args):
 
 have = getattr(ns, "_species_v3", None)
 assert have is not None, "species v3 kernels not built (not on TPU?)"
-merged = getattr(ns, "_transeq_sp_v3", None)
-if merged is not None:
-    # merged chain: momentum+species in one pass over the velocity
-    # windows; compare against momentum-alone + standalone species.
-    # The readback must depend on BOTH outputs or XLA DCEs the unused
-    # momentum transeq on the separate path.
-    def both(p, a, b, c):
-        mom, sp = ns.transeq_with_species(a, b, c, p)
-        return sp + 1e-30 * mom[0]
-
-    ms_m = loop_time(f"transeq + species x{nsp} (merged)", both,
-                     (phi, u, v, w))
-    object.__setattr__(ns, "_transeq_sp_v3", None)
-    ms_s = loop_time(f"transeq + species x{nsp} (separate kernels)",
-                     both, (phi, u, v, w))
-    object.__setattr__(ns, "_transeq_sp_v3", merged)
-    print(f"merged-vs-separate speedup: {ms_s / ms_m:.2f}x")
+# (the merged momentum+species chain was removed in round 4: measured
+# 0.63x the standalone kernels on-chip in round 3)
 ms_k = loop_time(f"species RHS x{nsp} (v3 kernels)",
                  lambda p, a, b, c: ns.transeq_species_all(p, a, b, c),
                  (phi, u, v, w))

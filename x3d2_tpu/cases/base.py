@@ -94,7 +94,7 @@ class BaseCase:
         # the velocity mid blocks are VMEM-resident) whenever the v3
         # Pallas kernels are active and no hook sits between transeq and
         # the update (forcings identity, plain accumulation). Species
-        # ride along: their RHS (v3 species sweeps) is evaluated on the
+        # RHS runs through the standalone v3 species sweeps on the
         # pre-update velocities and phi takes the same AB formula as an
         # XLA elementwise pass (stacked phi streams well).
         # Measured faster than the separate 15-pass AB elementwise update
@@ -103,13 +103,6 @@ class BaseCase:
         # runs.
         import os as _os
         self._fused_ab = None
-        # species ride the fused sweeps too when the merged kernels are
-        # built (solver._transeq_sp_v3); phi then adds only its own
-        # stream traffic to the chain
-        self._fused_ab_sp = (
-            params.n_species
-            and getattr(self.solver, "_transeq_sp_v3", None) is not None)
-        sp_nus = self.solver.nu_species if self._fused_ab_sp else ()
         if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"
                 and self.ti.kind == "AB" and self.ti.nolds >= 1
                 and not params.compensated
@@ -141,25 +134,13 @@ class BaseCase:
                     self._fused_ab = make_fused_transeq_ab_v3(
                         self.solver.ops, self.solver.nu, dims,
                         self.ti.nolds, terms=terms,
-                        xdiv=(d64["sx"], d64["ix"]),
-                        species_nus=sp_nus)
+                        xdiv=(d64["sx"], d64["ix"]))
                 except ValueError:
                     pass
             if self._fused_ab is None:
-                try:
-                    self._fused_ab = make_fused_transeq_ab_v3(
-                        self.solver.ops, self.solver.nu, dims,
-                        self.ti.nolds, terms=terms, species_nus=sp_nus)
-                except ValueError:
-                    if sp_nus:  # species untileable: momentum-only chain
-                        self._fused_ab_sp = False
-                        self._fused_ab = make_fused_transeq_ab_v3(
-                            self.solver.ops, self.solver.nu, dims,
-                            self.ti.nolds, terms=terms)
-                    else:
-                        raise
-        if self._fused_ab is None:
-            self._fused_ab_sp = False
+                self._fused_ab = make_fused_transeq_ab_v3(
+                    self.solver.ops, self.solver.nu, dims,
+                    self.ti.nolds, terms=terms)
         # RK substage update fused into the final transeq sweep (same
         # aliasing trick as AB; time_integrator.f90:166-231). The gate
         # mirrors the AB one: a forcings hook sits between transeq and
@@ -355,20 +336,14 @@ class BaseCase:
             nstep = jnp.minimum(istep, self.ti.order)
             dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
             prhs = None
-            if nsp and self._fused_ab_sp:
-                # species ride the fused sweeps (merged kernels)
-                phis = tuple(fields[3][i] for i in range(nsp))
-                out = self._fused_ab(*fields[:3], state["olds"][:3],
-                                     dtc, phis=phis)
-                prhs = jnp.stack(out[-1])
-                out = out[:-1]
-            else:
-                if nsp:
-                    # species RHS on the pre-update velocities (the same
-                    # time level the momentum RHS uses inside the kernel)
-                    prhs = self.solver.transeq_species_all(fields[3],
-                                                           *fields[:3])
-                out = self._fused_ab(*fields[:3], state["olds"][:3], dtc)
+            if nsp:
+                # species RHS on the pre-update velocities (the same
+                # time level the momentum RHS uses inside the kernel);
+                # standalone v3 species sweeps — the merged ride-along
+                # variant measured 0.63x and was removed (r3 on-chip)
+                prhs = self.solver.transeq_species_all(fields[3],
+                                                       *fields[:3])
+            out = self._fused_ab(*fields[:3], state["olds"][:3], dtc)
             divs = None
             if len(out) == 3:  # AB+xdiv pencil chain
                 mom, rhs, divs = out

@@ -171,21 +171,22 @@ def _stack_banded(op_pair, w, bs):
 
 def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
                        terms=2, ab_olds=0, halo_ext=False, xdiv=False,
-                       nbh=0, sp_nus=(), upd=None, base_sep=False):
-    """refs layout: [acc_u, acc_v, acc_w]? + [sp_acc]*nsp? + nstream
-    blocks per field * 3 + [phi stream blocks]*nsp + [old_{j,c} blocks]*
+                       nbh=0, upd=None, base_sep=False):
+    """refs layout: [acc_u, acc_v, acc_w]? + nstream
+    blocks per field * 3 + [old_{j,c} blocks]*
     + 4*terms matrix refs (sa, st, da, dt split parts) + [xdiv parity
     transform parts (sx Me,Mo then ix Me,Mo)]? + [shard block offset]?
-    + [ab coeffs]? + outputs (3, or 6 when AB-fused: u',v',w' followed
-    by the rhs fields that become olds[0], or 9 with xdiv: + the
-    projection's x-transformed du,dv,dw; species rhs outputs follow).
+    + [ab coeffs]? + outputs (3, or 6 when update-fused: u',v',w'
+    followed by the rhs fields that become olds[0] / the RK stage
+    derivative, or 9 with xdiv: + the projection's x-transformed
+    du,dv,dw).
 
-    With sp_nus, species (scalar transport) ride the sweep: each phi's
-    RHS uses the ALIGNED operator pairing (sa stack + da banded — the
-    very matrices already resident for the axis-aligned velocity) and
-    the conv window already fetched for momentum, so species add only
-    their own phi stream traffic (reference transeq_species
-    solver.f90:507-601 runs per species through separate passes).
+    (A merged momentum+species variant existed in round 3 — phi riding
+    these sweeps — but MEASURED 0.63x the standalone species kernels on
+    chip (7.96 vs 4.99 ms, validation/onchip_queue_prof_species.log r3)
+    and was removed; scalar transport runs through the standalone
+    _species_kernel_v3 sweeps below, reference transeq_species
+    solver.f90:507-601.)
 
     With halo_ext, the l/r stream blocks come from a halo-extended shard
     (no wraparound) and the matrix stacks hold the GLOBAL banded blocks,
@@ -208,20 +209,14 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
     MEASURED: wins at 256^3 (8.53 vs 9.08 ms/step), LOSES at 512^3
     (74.9 vs 66.3: the per-grid-step transform dots and scratch traffic
     stop hiding under the sweep's DMA), so callers gate it by size."""
-    nsp = len(sp_nus)
     i = 0
-    accs = sp_accs = None
+    accs = None
     if accumulate:
         accs = refs[:3]
-        sp_accs = refs[3:3 + nsp]
-        i = 3 + nsp
+        i = 3
     fields = []
     for _ in range(3):
         fields.append(refs[i:i + nstream])
-        i += nstream
-    sp_fields = []
-    for _ in range(nsp):
-        sp_fields.append(refs[i:i + nstream])
         i += nstream
     olds = refs[i:i + 3 * ab_olds]
     i += 3 * ab_olds
@@ -357,27 +352,6 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
         else:
             outs[c][...] = r.astype(outs[c].dtype)
 
-    if nsp:
-        # species rhs outputs sit after all momentum outputs
-        base = (9 if xdiv else 6) if upd else 3
-        sl1 = [slice(None)] * 3
-        sl1[axis] = slice(0, bs)
-        sl2 = [slice(None)] * 3
-        sl2[axis] = slice(bs, 2 * bs)
-        for s in range(nsp):
-            q, _ = window(sp_fields[s])
-            qs = _split(q, terms)
-            ps = _split(q * convw, terms)
-            stacked = _contract_split(sa, qs, axis, prec)
-            dq = stacked[tuple(sl1)]
-            d2q = stacked[tuple(sl2)]
-            dqd = _contract_split(da, ps, axis, prec)
-            r = -0.5 * (conv * dq + dqd) + sp_nus[s] * d2q
-            if accumulate:
-                r = r + sp_accs[s][...]
-            o = outs[base + s]
-            o[...] = r.astype(o.dtype)
-
 
 def _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
                     halo_ext, n_shards):
@@ -461,13 +435,8 @@ def _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
                         terms=2, ab_olds=0, n_shards=1, ab_alias=True,
-                        xdiv_mats=None, species_nus=(), upd=None,
-                        base_sep=False):
+                        xdiv_mats=None, upd=None, base_sep=False):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
-
-    With species_nus, phi fields ride the same kernel (see
-    _transeq_kernel_v3): fn(..., phis=(...), sp_acc=(...)) and the
-    return gains a species-rhs tuple (single-shard only).
 
     Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
     Axis 2: rolled 2-stream windows (default bs=128, w=64).
@@ -491,9 +460,6 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         w = 64 if lane else (32 if terms >= 3 else 16)
     nstream = 2 if lane else 3
     halo_ext = n_shards > 1
-    nsp = len(species_nus)
-    if nsp > 8:
-        raise ValueError("species kernel capped at 8 per call (VMEM)")
     if upd is None:
         upd = ab_olds > 0
     if (upd or ab_olds) and (lane or not accumulate or halo_ext):
@@ -553,22 +519,20 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                              accumulate=accumulate, terms=terms,
                              ab_olds=ab_olds, halo_ext=halo_ext,
                              xdiv=xdiv, nbh=nb // 2,
-                             sp_nus=tuple(float(x) for x in species_nus),
                              upd=upd, base_sep=base_sep)
 
     nparts = max(terms, 1)
     xspec = pl.BlockSpec((n // 2, n // 2), lambda i, j, b: (0, 0),
                          memory_space=pltpu.VMEM)
-    in_specs = ([out_spec] * (3 + nsp) if accumulate else []) \
-        + fspecs * (3 + nsp) + [out_spec] * (3 * ab_olds) \
+    in_specs = ([out_spec] * 3 if accumulate else []) \
+        + fspecs * 3 + [out_spec] * (3 * ab_olds) \
         + ([out_spec] * 3 if base_sep else []) \
         + [sspec] * (2 * nparts) + [dspec] * (2 * nparts) \
         + [xspec] * len(xmats)
     if halo_ext:
         in_specs = in_specs + [pl.BlockSpec((1,), lambda i, j, b: (0,),
                                             memory_space=pltpu.SMEM)]
-    n_out_mom = (9 if xdiv else 6) if upd else 3
-    n_out = n_out_mom + nsp
+    n_out = n_out_mom = (9 if xdiv else 6) if upd else 3
     if upd:
         in_specs = in_specs + [pl.BlockSpec((1, 4), lambda i, j, b: (0, 0),
                                             memory_space=pltpu.SMEM)]
@@ -578,36 +542,28 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         # its inputs (blocks share the output index map, so in-place is
         # race-free like any elementwise aliasing)
         aliases = {0: 3, 1: 4, 2: 5}
-        for s in range(nsp):  # species partial rhs onto species rhs outs
-            aliases[3 + s] = n_out_mom + s
         if ab_alias and ab_olds:
-            first_old = 3 + nsp + (3 + nsp) * nstream
+            first_old = 3 + 3 * nstream
             for c in range(3):
                 aliases[first_old + 3 * (ab_olds - 1) + c] = c
     elif accumulate:
         aliases = {c: c for c in range(3)}
-        for s in range(nsp):
-            aliases[3 + s] = 3 + s
     else:
         aliases = {}
 
     def fn(u, v, w_, acc=None, olds=None, dtc=None, exts=None, off=None,
-           phis=(), sp_acc=None, base=None):
+           base=None):
         if lane and not halo_ext:
             u, v, w_ = (jnp.roll(q, w, axis=axis) for q in (u, v, w_))
-            phis = tuple(jnp.roll(q, w, axis=axis) for q in phis)
         field_args = []
         if halo_ext:
-            # per field (incl. species): l/r streams read the
-            # halo-extended operand; exts covers (u, v, w, *phis)
-            for q, e in zip((u, v, w_) + tuple(phis), exts):
+            # per field: l/r streams read the halo-extended operand
+            for q, e in zip((u, v, w_), exts):
                 field_args += [e] * 2 if lane else [e, q, e]
         else:
-            for q in (u, v, w_) + tuple(phis):
+            for q in (u, v, w_):
                 field_args += [q] * nstream
         args = list(acc) if accumulate else []
-        if accumulate and nsp:
-            args += list(sp_acc)
         args += field_args
         if ab_olds:
             # olds: per-field (nolds,) history tuples -> flat j-major
@@ -623,8 +579,7 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         # xdiv: b-revisited full-extent div output blocks (written once)
         out_specs = [out_spec] * min(n_out_mom, 6) \
             + [pl.BlockSpec(blk_of(n), map_of(lambda b: 0),
-                            memory_space=pltpu.VMEM)] * (n_out_mom - 6) \
-            + [out_spec] * nsp
+                            memory_space=pltpu.VMEM)] * (n_out_mom - 6)
         outs = pl.pallas_call(
             kern,
             grid=grid,
@@ -640,40 +595,31 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=70 * 2**20) if xdiv else _cparams(3)),
         )(*args)
-        sp = tuple(outs[n_out_mom:])
         if xdiv:
-            mom = (tuple(outs[:3]), tuple(outs[3:6]), tuple(outs[6:9]))
-            return mom + (sp,) if nsp else mom
+            return (tuple(outs[:3]), tuple(outs[3:6]), tuple(outs[6:9]))
         if upd:
-            mom = (tuple(outs[:3]), tuple(outs[3:6]))
-            return mom + (sp,) if nsp else mom
-        return (tuple(outs[:3]), sp) if nsp else outs
+            return (tuple(outs[:3]), tuple(outs[3:6]))
+        return outs
 
     return fn
 
 
-def _pencil_kernel(*refs, axis, nu, w, bs, nb, terms, accumulate,
-                   sp_nus=()):
+def _pencil_kernel(*refs, axis, nu, w, bs, nb, terms, accumulate):
     """Full-sweep-axis pencil kernel: refs are [acc pencils]? +
-    [sp_acc]*nsp? + pencils of u, v, w (full extent along `axis`) +
-    [phi pencils]*nsp + matrix stacks + 3+nsp outputs.
+    pencils of u, v, w (full extent along `axis`) +
+    matrix stacks + 3 outputs.
     Each field is read from HBM exactly ONCE per sweep (the streamed
     window covers re-fetch overlapping blocks; the lane axis previously
     also paid a roll pre-pass): the pencil is halo-extended by concat in
     VMEM, split into bf16 parts once, and all nb output blocks are
-    computed from aligned slices of the extended parts. Species reuse
-    the resident conv pencil and the aligned (sa, da) matrices."""
-    nsp = len(sp_nus)
+    computed from aligned slices of the extended parts."""
     i = 0
-    accs = sp_accs = None
+    accs = None
     if accumulate:
         accs = refs[:3]
-        sp_accs = refs[3:3 + nsp]
-        i = 3 + nsp
+        i = 3
     u_ref, v_ref, w_ref = refs[i:i + 3]
     i += 3
-    sp_refs = refs[i:i + nsp]
-    i += nsp
     nparts = max(terms, 1)
     m = refs[i:i + 4 * nparts]
     sa, st = m[:nparts], m[nparts:2 * nparts]
@@ -697,7 +643,7 @@ def _pencil_kernel(*refs, axis, nu, w, bs, nb, terms, accumulate,
 
     conv_ext = extend(conv_full)
     exts, pexts = [], []
-    for q in comps + [r[...] for r in sp_refs]:
+    for q in comps:
         e = extend(q)
         exts.append(_split(e, terms))
         pexts.append(_split(e * conv_ext, terms))
@@ -706,34 +652,29 @@ def _pencil_kernel(*refs, axis, nu, w, bs, nb, terms, accumulate,
         sl = asl(b * bs, b * bs + bs + 2 * w)
         out_sl = asl(b * bs, (b + 1) * bs)
         conv = conv_full[out_sl]
-        for c in range(3 + nsp):
+        for c in range(3):
             qs = tuple(x[sl] for x in exts[c])
             ps = tuple(x[sl] for x in pexts[c])
-            aligned = c == axis or c >= 3
-            S, D = (sa, da) if aligned else (st, dt)
+            S, D = (sa, da) if c == axis else (st, dt)
             Sb = tuple(M[b] for M in S)
             Db = tuple(M[b] for M in D)
             stacked = _contract_split(Sb, qs, axis, prec)
             dq = stacked[asl(0, bs)]
             d2q = stacked[asl(bs, 2 * bs)]
             dqd = _contract_split(Db, ps, axis, prec)
-            nu_c = nu if c < 3 else sp_nus[c - 3]
-            r = -0.5 * (conv * dq + dqd) + nu_c * d2q
+            r = -0.5 * (conv * dq + dqd) + nu * d2q
             if accumulate:
-                a = accs[c] if c < 3 else sp_accs[c - 3]
-                r = r + a[out_sl]
+                r = r + accs[c][out_sl]
             outs[c][out_sl] = r.astype(outs[c].dtype)
 
 
 def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
-                      bs=None, interpret=False, terms=2, accumulate=False,
-                      species_nus=()):
+                      bs=None, interpret=False, terms=2,
+                      accumulate=False):
     """Single-read direction sweep: fn(u, v, w[, acc]) -> (du, dv, dw).
     The sweep axis stays fully VMEM-resident per grid step (enabled by
     the raised VMEM_LIMIT); drop-in replacement for the windowed-stream
-    sweeps with ~1.5-2.5x less HBM read traffic. With species_nus, phi
-    pencils ride along and a species-rhs tuple is appended to the
-    return."""
+    sweeps with ~1.5-2.5x less HBM read traffic."""
     lane = axis == 2
     if bs is None:
         bs = 128 if lane else 64
@@ -776,65 +717,45 @@ def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((nb, bs, win), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    nsp = len(species_nus)
-    if nsp > 8:
-        raise ValueError("species kernel capped at 8 per call (VMEM)")
     kern = functools.partial(_pencil_kernel, axis=axis, nu=float(nu), w=w,
                              bs=bs, nb=nb, terms=terms,
-                             accumulate=accumulate,
-                             sp_nus=tuple(float(x) for x in species_nus))
+                             accumulate=accumulate)
     grid = (shape[other[0]] // t0, shape[other[1]] // t1)
-    aliases = ({c: c for c in range(3 + nsp)} if accumulate else {})
+    aliases = ({c: c for c in range(3)} if accumulate else {})
 
-    def fn(u, v, w_, acc=None, phis=(), sp_acc=None):
+    def fn(u, v, w_, acc=None):
         args = list(acc) if accumulate else []
-        if accumulate and nsp:
-            args += list(sp_acc)
-        args += [u, v, w_] + list(phis) + mats
-        out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * (3 + nsp)
+        args += [u, v, w_] + mats
+        out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * 3
         outs = pl.pallas_call(
             kern, grid=grid,
-            in_specs=([pencil] * (3 + nsp) if accumulate else [])
-            + [pencil] * (3 + nsp) + [sspec] * (2 * nparts)
+            in_specs=([pencil] * 3 if accumulate else [])
+            + [pencil] * 3 + [sspec] * (2 * nparts)
             + [dspec] * (2 * nparts),
-            out_specs=[pencil] * (3 + nsp),
+            out_specs=[pencil] * 3,
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=_cparams(2),
         )(*args)
-        if nsp:
-            return tuple(outs[:3]), tuple(outs[3:])
         return outs
 
     return fn
 
 
 def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
-                          terms=2, species_nus=()):
+                          terms=2):
     """Full transeq: three accumulated direction sweeps.
     fn(u, v, w) -> (du, dv, dw) summed over directions.
     terms=2 -> bf16x3 (Precision.HIGH); terms=3 -> bf16x6 (HIGHEST, the
-    KE-parity mode, ~2x the matmul cost). With species_nus the phi
-    fields ride every sweep (fn(u, v, w, phis) -> (rhs3, sp_rhs)) —
-    species then add only their own phi traffic, not a second pass over
-    the velocity windows."""
+    KE-parity mode, ~2x the matmul cost)."""
     cfgs = cfgs or {}
     d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
-                     cfgs.get(2, {}), species_nus=species_nus)
+                     cfgs.get(2, {}))
     d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
-                     cfgs.get(0, {}), accumulate=True,
-                     species_nus=species_nus)
+                     cfgs.get(0, {}), accumulate=True)
     d1 = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
-                     cfgs.get(1, {}), accumulate=True,
-                     species_nus=species_nus)
-    if species_nus:
-        def fn_sp(u, v, w, phis):
-            acc, sp = d2(u, v, w, phis=phis)
-            acc, sp = d0(u, v, w, acc=acc, phis=phis, sp_acc=sp)
-            return d1(u, v, w, acc=acc, phis=phis, sp_acc=sp)
-
-        return fn_sp
+                     cfgs.get(1, {}), accumulate=True)
 
     def fn(u, v, w):
         acc = d2(u, v, w)
@@ -846,7 +767,7 @@ def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
 
 
 def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
-                accumulate=False, ab_olds=0, species_nus=()):
+                accumulate=False, ab_olds=0):
     """One direction sweep: the single-read pencil kernel on the lane
     axis (16.1 vs 18.0 ms at 512^3 — it also replaces the roll
     pre-pass), else the windowed-stream variant. Non-lane pencils were
@@ -858,24 +779,18 @@ def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
         try:
             return make_pencil_sweep(ops_axis, nu, axis, shape,
                                      interpret=interpret, terms=terms,
-                                     accumulate=accumulate,
-                                     species_nus=species_nus)
+                                     accumulate=accumulate)
         except ValueError:
             pass
     return make_transeq_dir_v3(ops_axis, nu, axis, shape, terms=terms,
                                accumulate=accumulate, ab_olds=ab_olds,
-                               interpret=interpret,
-                               species_nus=species_nus, **cfg)
+                               interpret=interpret, **cfg)
 
 
 def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
-                             interpret=False, terms=2, xdiv=None,
-                             species_nus=()):
+                             interpret=False, terms=2, xdiv=None):
     """Transeq + Adams-Bashforth update in one fused chain:
     fn(u, v, w, olds, dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)).
-    With species_nus, phi fields ride every sweep — fn gains a `phis`
-    argument and the return an appended species-rhs tuple (the phi AB
-    update itself stays an XLA elementwise pass in the caller).
 
     The final (axis 1) sweep applies the AB update in-kernel while the
     u,v,w mid blocks are VMEM-resident, replacing the separate
@@ -894,27 +809,15 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     full-field re-reads) vanish. Raises ValueError when the shapes or
     the parity symmetry do not allow it."""
     cfgs = cfgs or {}
-    sp = tuple(species_nus or ())
     d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
-                     cfgs.get(2, {}), species_nus=sp)
+                     cfgs.get(2, {}))
     if xdiv is not None:
         d0x = make_transeq_dir_v3(solver_ops[0], nu, 0, shape,
                                   terms=terms, accumulate=True,
                                   ab_olds=nolds, interpret=interpret,
-                                  xdiv_mats=xdiv, species_nus=sp,
-                                  **cfgs.get(0, {}))
+                                  xdiv_mats=xdiv, **cfgs.get(0, {}))
         d1p = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
-                          cfgs.get(1, {}), accumulate=True,
-                          species_nus=sp)
-
-        if sp:
-            def fnx_sp(u, v, w, olds, dtc, phis):
-                acc, spa = d2(u, v, w, phis=phis)
-                acc, spa = d1p(u, v, w, acc=acc, phis=phis, sp_acc=spa)
-                return d0x(u, v, w, acc=acc, olds=olds, dtc=dtc,
-                           phis=phis, sp_acc=spa)
-
-            return fnx_sp
+                          cfgs.get(1, {}), accumulate=True)
 
         def fnx(u, v, w, olds, dtc):
             acc = d2(u, v, w)
@@ -923,20 +826,10 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
 
         return fnx
     d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
-                     cfgs.get(0, {}), accumulate=True, species_nus=sp)
+                     cfgs.get(0, {}), accumulate=True)
     d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
                              accumulate=True, ab_olds=nolds,
-                             interpret=interpret, species_nus=sp,
-                             **cfgs.get(1, {}))
-
-    if sp:
-        def fn_sp(u, v, w, olds, dtc, phis):
-            acc, spa = d2(u, v, w, phis=phis)
-            acc, spa = d0(u, v, w, acc=acc, phis=phis, sp_acc=spa)
-            return d1(u, v, w, acc=acc, olds=olds, dtc=dtc, phis=phis,
-                      sp_acc=spa)
-
-        return fn_sp
+                             interpret=interpret, **cfgs.get(1, {}))
 
     def fn(u, v, w, olds, dtc):
         acc = d2(u, v, w)

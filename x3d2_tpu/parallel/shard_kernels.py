@@ -103,61 +103,45 @@ def _exchange_halo(fields, axis, name, ns, wa, n_loc):
 
 
 def make_sharded_transeq_v3(solver, dmesh: DeviceMesh, terms=2,
-                            interpret=False, species_nus=()):
+                            interpret=False):
     """Build fn(u, v, w) -> (du, dv, dw) over globally-sharded fields:
-    one shard_map wrapping the three fused direction sweeps. With
-    species_nus, phi rides the same per-shard kernels and halo
-    exchanges (one ppermute round covers u, v, w AND every phi per
-    sweep): fn(u, v, w, phis) -> ((du, dv, dw), sp_rhs tuple)."""
+    one shard_map wrapping the three fused direction sweeps. Species
+    run through make_sharded_species_v3 (the merged ride-along variant
+    measured 0.63x the standalone kernels on chip and was removed)."""
     shards, dims = _axis_shards(solver, dmesh)
     local = tuple(dims[a] // shards[a][0] for a in range(3))
-    nsp = len(species_nus)
     fns, halo_ws, nb_loc = {}, {}, {}
     for axis, accumulate in ((2, False), (0, True), (1, True)):
         ns, name = shards[axis]
         fns[axis] = make_transeq_dir_v3(
             solver.ops[axis], solver.nu, axis, local, terms=terms,
-            accumulate=accumulate, interpret=interpret, n_shards=ns,
-            species_nus=species_nus)
+            accumulate=accumulate, interpret=interpret, n_shards=ns)
         halo_ws[axis] = _halo_w(axis, terms)
         bs = 128 if axis == 2 else 64
         nb_loc[axis] = local[axis] // bs
 
-    def local_fn(u, v, w, *phis):
-        acc = sp = None
+    def local_fn(u, v, w):
+        acc = None
         for axis in (2, 0, 1):
             ns, name = shards[axis]
             kw = {}
             if ns > 1:
-                kw["exts"] = _exchange_halo((u, v, w) + phis, axis, name,
+                kw["exts"] = _exchange_halo((u, v, w), axis, name,
                                             ns, halo_ws[axis],
                                             local[axis])
                 kw["off"] = jax.lax.axis_index(name) * nb_loc[axis]
-            if nsp:
-                kw["phis"] = phis
-                if sp is not None:
-                    kw["sp_acc"] = sp
             if acc is None:
-                out = fns[axis](u, v, w, **kw)
+                acc = fns[axis](u, v, w, **kw)
             else:
-                out = fns[axis](u, v, w, acc=acc, **kw)
-            acc, sp = out if nsp else (out, None)
-        return acc + sp if nsp else acc
+                acc = fns[axis](u, v, w, acc=acc, **kw)
+        return acc
 
     fspec = P(*field_spec(dmesh, dims))
     # check_vma off: pallas_call outputs carry no varying-mesh-axes info
-    sharded = jax.shard_map(local_fn, mesh=dmesh,
-                            in_specs=(fspec,) * (3 + nsp),
-                            out_specs=(fspec,) * (3 + nsp),
-                            check_vma=False)
-    if not nsp:
-        return sharded
-
-    def fn(u, v, w, phis):
-        out = sharded(u, v, w, *phis)
-        return tuple(out[:3]), tuple(out[3:])
-
-    return fn
+    return jax.shard_map(local_fn, mesh=dmesh,
+                         in_specs=(fspec,) * 3,
+                         out_specs=(fspec,) * 3,
+                         check_vma=False)
 
 
 def make_sharded_species_v3(solver, dmesh: DeviceMesh, terms=2,

@@ -191,20 +191,6 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
                                                 interpret=interp))
                 except ValueError:
                     pass  # shard extents not tileable: operator path
-                if os.environ.get("X3D2_MERGED_SPECIES", "0") == "1":
-                    # merged chain: phi rides the momentum kernels and
-                    # one ppermute round per sweep covers all fields.
-                    # Off by default: measured slower on-chip than the
-                    # separate species kernels (see solver.py gate).
-                    try:
-                        object.__setattr__(
-                            halo_solver, "_transeq_sp_v3",
-                            make_sharded_transeq_v3(
-                                solver, dmesh, terms=terms,
-                                interpret=interp,
-                                species_nus=solver.nu_species))
-                    except ValueError:
-                        pass
         if (getattr(halo_solver, "_halo_mode", False)
                 and sharded_x_apply_supported(solver, dmesh)):
             # the x axis is never sharded: its dense applies run as

@@ -140,26 +140,6 @@ class NavierStokes:
                                                   shape, terms=terms))
                     except ValueError:
                         pass
-                if (ns.nu_species and len(ns.nu_species) <= 8
-                        and _os.environ.get("X3D2_MERGED_SPECIES",
-                                            "0") == "1"):
-                    # merged momentum+species sweeps: phi rides the
-                    # momentum kernels (zero extra velocity/matrix
-                    # traffic — the aligned sa/da stacks and the conv
-                    # window are already resident per block).
-                    # MEASURED SLOWER on-chip (256^3 x2 species: merged
-                    # 7.96 ms vs separate 4.99 ms — the wider block
-                    # working set breaks the sweeps' DMA pipelining, the
-                    # same lesson as the merged x+z dual sweep), so OFF
-                    # by default; X3D2_MERGED_SPECIES=1 re-enables.
-                    try:
-                        object.__setattr__(
-                            ns, "_transeq_sp_v3",
-                            make_fused_transeq_v3(
-                                ns.ops, nu, shape, terms=terms,
-                                species_nus=ns.nu_species))
-                    except ValueError:
-                        pass
             elif fused_transeq_supported(ns, shape):
                 # v1 dense fused kernel (HIGHEST): non-128-multiple shapes
                 # <= 256 that v3's block sizes cannot tile
@@ -302,14 +282,10 @@ class NavierStokes:
                           for i in range(nsp)])
 
     def transeq_with_species(self, u, v, w, phi):
-        """Momentum + all-species RHS: (rhs3, sp_rhs stacked). The
-        merged sweeps compute both from one pass over the velocity
-        windows when built; otherwise the two paths run separately."""
-        m = getattr(self, "_transeq_sp_v3", None)
-        if m is not None:
-            nsp = len(self.nu_species)
-            rhs, sp = m(u, v, w, tuple(phi[i] for i in range(nsp)))
-            return rhs, jnp.stack(sp)
+        """Momentum + all-species RHS: (rhs3, sp_rhs stacked). A merged
+        variant (phi riding the momentum sweeps) was measured 0.63x the
+        standalone species kernels on chip (r3,
+        validation/onchip_queue_prof_species.log) and removed."""
         return (self.transeq(u, v, w),
                 self.transeq_species_all(phi, u, v, w))
 
