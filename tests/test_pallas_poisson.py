@@ -127,19 +127,21 @@ def test_merged_x_kernels_match_separate(monkeypatch):
     assert "div3" not in fns2[2]
 
 
-def test_pipe3_matches_production_chain():
+@pytest.mark.parametrize("terms", [2, 3])
+def test_pipe3_matches_production_chain(terms):
     """The 3-stage pipeline (slab div -> x+solve kernel -> slab
     grad+correction) equals the x-first chain (div3 -> mid -> gradsub3)
-    to matmul noise, and the corrected field is divergence-free."""
+    to matmul noise at BOTH precision modes (bf16x3 and the bf16x6
+    KE-parity mode), and the corrected field is divergence-free."""
     from x3d2_tpu.ops.pallas_poisson import (make_pressure_pipe3,
                                              pipe3_supported)
     ns = _build((PER,) * 3)
-    assert pipe3_supported(ns, terms=2)
+    assert pipe3_supported(ns, terms=terms)
     u, v, w = _fields(ns, seed=17)
-    fns = make_pressure_slab(ns, terms=2, interpret=True)
+    fns = make_pressure_slab(ns, terms=terms, interpret=True)
     object.__setattr__(ns, "_slab_pressure", fns)
     ref = ns.pressure_correction(u, v, w, keep_pressure=False)
-    pipe = make_pressure_pipe3(ns, terms=2, interpret=True)
+    pipe = make_pressure_pipe3(ns, terms=terms, interpret=True)
     got = pipe(u, v, w)
     for r, g, name in zip(ref[:3], got, ("u", "v", "w")):
         scale = float(jnp.max(jnp.abs(r))) + 1e-30
