@@ -27,13 +27,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 JOBS = [
     ("bench", [sys.executable, "bench.py"], 2400, {}),
+    ("prof_pressure", [sys.executable, "tools/prof_pressure.py",
+                       "512", "20"], 1800, {}),
+    ("prof_rk", [sys.executable, "tools/prof_rk.py", "256", "30"],
+     2000, {}),
     ("prof_species", [sys.executable, "tools/prof_species.py"], 1800, {}),
     ("prof512_dimsem0", [sys.executable, "tools/prof512.py", "512", "20"],
-     1800, {"X3D2_DIMSEM": "0"}),
-    ("prof512_dimsem1", [sys.executable, "tools/prof512.py", "512", "20"],
-     1800, {"X3D2_DIMSEM": "1"}),
-    ("prof_dma", [sys.executable, "tools/prof_dma.py", "512"], 1800, {}),
-    ("prof_manual", [sys.executable, "tools/prof_manual.py"], 1800, {}),
+     2400, {"X3D2_DIMSEM": "0"}),
+    ("shardmap", [sys.executable, "tools/onchip_shardmap.py"], 1800, {}),
 ]
 
 

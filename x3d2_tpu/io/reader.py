@@ -111,13 +111,25 @@ class SnapshotReader:
         ts = self.timesteps[0] if timestep is None else timestep
         return self.step(ts).fields
 
+    def _scan(self, get):
+        """Visit every step closing each archive immediately — long
+        series must not accumulate thousands of open file handles."""
+        out = []
+        for ts in self.timesteps:
+            s = SnapshotStep(self._paths[ts], ts)
+            try:
+                out.append(get(s))
+            finally:
+                s.close()
+        return out
+
     def times(self) -> np.ndarray:
         """Physical times of every stored step (time-ordered)."""
-        return np.asarray([self.step(ts).time for ts in self.timesteps])
+        return np.asarray(self._scan(lambda s: s.time))
 
     def series(self, name: str) -> np.ndarray:
         """Stack one field across all steps -> (nsteps, *shape)."""
-        return np.stack([self.step(ts)[name] for ts in self.timesteps])
+        return np.stack(self._scan(lambda s: s[name]))
 
     def close(self):
         for s in self._open_steps:
