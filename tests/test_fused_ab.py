@@ -185,3 +185,48 @@ def test_fused_rk_matches_separate(order):
     for k in ("u", "v", "w"):
         err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
         assert err < 1e-5, f"{k}: {err:.2e}"
+
+
+def test_d2c_carry_matches_standard_chain():
+    """The d2-in-C carry (projection kernel C also emits the next
+    step's z-sweep partials; the AB chain starts at d0) must reproduce
+    the standard d2->d0->d1+AB + pipe3 step over several steps,
+    including the AB3 startup rows."""
+    from x3d2_tpu.ops.pallas_kernels import (_make_sweep,
+                                             make_fused_transeq_ab_v3)
+    from x3d2_tpu.ops.pallas_poisson import make_pressure_pipe3
+    import jax
+
+    ca = _case("AB3")
+    ca.keep_pressure = False
+    cb = _case("AB3")
+    cb.keep_pressure = False
+    nu = ca.solver.nu
+    fused = make_fused_transeq_ab_v3(ca.solver.ops, nu, SHAPE, nolds=2,
+                                     interpret=True)
+    pipe = make_pressure_pipe3(ca.solver, terms=2, interpret=True)
+    ca._fused_ab = fused
+    object.__setattr__(ca.solver, "_pipe_pressure", pipe)
+
+    cb._fused_ab = fused   # used only until rhsp exists (never here)
+    cb._pipe_d2c = make_pressure_pipe3(cb.solver, terms=2,
+                                       interpret=True, d2_sweep=True)
+    cb._fused_ab_nod2 = make_fused_transeq_ab_v3(
+        cb.solver.ops, nu, SHAPE, nolds=2, interpret=True, skip_d2=True)
+    cb._d2_boot = jax.jit(_make_sweep(cb.solver.ops[2], nu, 2, SHAPE,
+                                      2, True, {}))
+
+    sa = ca.initial_state()
+    sb = cb.initial_state()
+    assert "rhsp" in sb   # bootstrapped by initial_state
+    for _ in range(3):
+        sa = ca.step_fn(sa)
+        sb = cb.step_fn(sb)
+    assert "rhsp" in sb
+    uscale = float(jnp.max(jnp.abs(sa["u"])))
+    for k in ("u", "v", "w"):
+        err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
+        assert err < 2e-5 * uscale, f"{k}: {err:.2e} vs {uscale:.2e}"
+    for oa, ob in zip(sa["olds"], sb["olds"]):
+        err = float(jnp.max(jnp.abs(oa[0] - ob[0])))
+        assert err < 2e-4, f"olds: {err:.2e}"

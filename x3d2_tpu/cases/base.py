@@ -137,10 +137,47 @@ class BaseCase:
                         xdiv=(d64["sx"], d64["ix"]))
                 except ValueError:
                     pass
+            self._ab_is_xdiv = self._fused_ab is not None
             if self._fused_ab is None:
                 self._fused_ab = make_fused_transeq_ab_v3(
                     self.solver.ops, self.solver.nu, dims,
                     self.ti.nolds, terms=terms)
+        # d2-in-C carry (round 4, experimental — X3D2_D2C=1 opts in):
+        # the projection's kernel C also evaluates the NEXT step's
+        # z-direction sweep on the just-corrected, VMEM-resident
+        # velocities, and the AB chain starts at d0 with the carried
+        # partials — the separate d2 kernel's three full-field reads
+        # vanish from the step. Valid only when no hook can touch the
+        # velocities between the correction and the next transeq.
+        self._pipe_d2c = None
+        if (_os.environ.get("X3D2_D2C", "0") == "1"
+                and self._fused_ab is not None
+                and not getattr(self, "_ab_is_xdiv", False)
+                and not params.n_species and not params.compensated
+                and type(self).define_bc is BaseCase.define_bc
+                and type(self).apply_bc is BaseCase.apply_bc
+                and type(self).body is BaseCase.body
+                and getattr(self.solver, "_pipe_pressure", None)
+                is not None):
+            from ..common import DataLoc
+            from ..ops.compact import PRECISION
+            from ..ops.pallas_kernels import (_make_sweep,
+                                              make_fused_transeq_ab_v3
+                                              as _mkab)
+            from ..ops.pallas_poisson import make_pressure_pipe3
+            terms = 3 if PRECISION == jax.lax.Precision.HIGHEST else 2
+            dims = mesh.dims(DataLoc.VERT)
+            try:
+                self._pipe_d2c = make_pressure_pipe3(
+                    self.solver, terms=terms, d2_sweep=True)
+                self._fused_ab_nod2 = _mkab(
+                    self.solver.ops, self.solver.nu, dims,
+                    self.ti.nolds, terms=terms, skip_d2=True)
+                self._d2_boot = jax.jit(_make_sweep(
+                    self.solver.ops[2], self.solver.nu, 2, dims,
+                    terms, False, {}))
+            except ValueError:
+                self._pipe_d2c = None
         # RK substage update fused into the final transeq sweep (same
         # aliasing trick as AB; time_integrator.f90:166-231). The gate
         # mirrors the AB one: a forcings hook sits between transeq and
@@ -254,6 +291,11 @@ class BaseCase:
             if self.params.compensated:
                 state["comp"] = tuple(jnp.zeros(f.shape, f.dtype)
                                       for f in tmpl)
+        if self._pipe_d2c is not None and not self.keep_pressure:
+            # d2-in-C carry: the z-sweep RHS partials of the CURRENT
+            # velocities (derived state — recomputed after restores,
+            # see run(); checkpoints do not persist it)
+            state["rhsp"] = tuple(self._d2_boot(u, v, w))
         return state
 
     def _rhs(self, fields, istep):
@@ -335,6 +377,21 @@ class BaseCase:
             from ..time_integrators import AB_COEFFS
             nstep = jnp.minimum(istep, self.ti.order)
             dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
+            if "rhsp" in state:
+                # d2-in-C carry: chain starts at d0 with the partials
+                # the previous projection's kernel C emitted; the
+                # projection here returns the NEXT carry (hooks are
+                # identity by the build gate, so _substage_post's
+                # apply_bc/body are skipped)
+                mom, rhs = self._fused_ab_nod2(
+                    *fields[:3], state["olds"][:3], dtc, state["rhsp"])
+                olds = tuple((r,) + o[:-1]
+                             for r, o in zip(rhs, state["olds"][:3]))
+                (un, vn, wn), rhsp = self._pipe_d2c(*mom)
+                new = {"olds": olds, "rhsp": tuple(rhsp),
+                       "u": un, "v": vn, "w": wn,
+                       "p": state["p"], "istep": istep + 1, "key": key}
+                return new
             prhs = None
             if nsp:
                 # species RHS on the pre-update velocities (the same
@@ -438,6 +495,14 @@ class BaseCase:
                 fresh = True
         if fresh is None:
             fresh = int(state["istep"]) == 1
+        if "rhsp" in state:
+            # d2-in-C: the carried z-sweep partials are DERIVED from
+            # u,v,w; refresh them whenever a state enters the loop from
+            # outside (covers checkpoint restores, where the persisted
+            # file has no rhsp — recomputation is bit-exact)
+            state = dict(state)
+            state["rhsp"] = tuple(self._d2_boot(state["u"], state["v"],
+                                                state["w"]))
         if fresh and int(state["istep"]) == 1:
             # fresh (non-restart) run: record the t=0 observables even
             # when the caller built the state (the CLI always does)

@@ -788,9 +788,16 @@ def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
 
 
 def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
-                             interpret=False, terms=2, xdiv=None):
+                             interpret=False, terms=2, xdiv=None,
+                             skip_d2=False):
     """Transeq + Adams-Bashforth update in one fused chain:
     fn(u, v, w, olds, dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)).
+
+    With skip_d2 (the d2-in-C projection carry, pallas_poisson
+    _pipe_c_kernel d2=True), the z sweep is NOT run here: fn gains a
+    required `acc0` argument — the z-direction RHS partials emitted by
+    the PREVIOUS step's projection kernel on the same velocities — and
+    the chain starts at the accumulated d0 sweep.
 
     The final (axis 1) sweep applies the AB update in-kernel while the
     u,v,w mid blocks are VMEM-resident, replacing the separate
@@ -809,9 +816,12 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     full-field re-reads) vanish. Raises ValueError when the shapes or
     the parity symmetry do not allow it."""
     cfgs = cfgs or {}
-    d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
-                     cfgs.get(2, {}))
+    d2 = None if skip_d2 else _make_sweep(solver_ops[2], nu, 2, shape,
+                                          terms, interpret,
+                                          cfgs.get(2, {}))
     if xdiv is not None:
+        if skip_d2:
+            raise ValueError("skip_d2 and xdiv are exclusive chains")
         d0x = make_transeq_dir_v3(solver_ops[0], nu, 0, shape,
                                   terms=terms, accumulate=True,
                                   ab_olds=nolds, interpret=interpret,
@@ -830,6 +840,13 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
                              accumulate=True, ab_olds=nolds,
                              interpret=interpret, **cfgs.get(1, {}))
+
+    if skip_d2:
+        def fns(u, v, w, olds, dtc, acc0):
+            acc = d0(u, v, w, acc=tuple(acc0))
+            return d1(u, v, w, acc=acc, olds=olds, dtc=dtc)
+
+        return fns
 
     def fn(u, v, w, olds, dtc):
         acc = d2(u, v, w)

@@ -1220,10 +1220,19 @@ def _pipe_b_kernel(*refs, terms, h):
     Y_ref[...] = Y.reshape((2 * h,) + sh[1:]).astype(Y_ref.dtype)
 
 
-def _pipe_c_kernel(*refs, terms, nvz, nb, bs, w):
+def _pipe_c_kernel(*refs, terms, nvz, nb, bs, w, d2=False, nu=0.0,
+                   zbs=128, zw=64):
     """refs: X, Y planes + u, v, w planes + [gie, gio (gz_i inv parity),
     GE, GO (stacked gz_is inv parity), tet, tot, wvec, bgiy, bgsy] parts
-    + outs un, vn, wn."""
+    [+ z-sweep stacks sa2, st2, da2, dt2 when d2] + outs un, vn, wn
+    [+ the next step's d2-sweep RHS partials r_u, r_v, r_w when d2].
+
+    With d2, the kernel ALSO evaluates the NEXT step's z-direction
+    transeq sweep on the just-corrected velocities: the slab holds the
+    full z extent (it is the lane axis), so the windowed lane sweep of
+    _pencil_kernel runs in place and the separate d2 kernel's three
+    full-field reads vanish from the step (the AB chain then starts at
+    the accumulated d0 with acc = these carried partials)."""
     nparts = max(terms, 1)
     X_ref, Y_ref = refs[:2]
     u_ref, v_ref, w_ref = refs[2:5]
@@ -1237,7 +1246,15 @@ def _pipe_c_kernel(*refs, terms, nvz, nb, bs, w):
     bgiy = m[6 * nparts:7 * nparts]
     bgsy = m[7 * nparts:8 * nparts]
     wv_ref = m[8 * nparts]
-    outs = refs[5 + 8 * nparts + 1:]
+    i = 5 + 8 * nparts + 1
+    if d2:
+        zm = refs[i:i + 4 * nparts]
+        sa2 = zm[0:nparts]
+        st2 = zm[nparts:2 * nparts]
+        da2 = zm[2 * nparts:3 * nparts]
+        dt2 = zm[3 * nparts:4 * nparts]
+        i += 4 * nparts
+    outs = refs[i:]
     X = X_ref[0]
     Y = Y_ref[0]
     h = X.shape[1] // 2
@@ -1265,9 +1282,42 @@ def _pipe_c_kernel(*refs, terms, nvz, nb, bs, w):
     dpdx = both[:, :nvz]
     dpdz = both[:, nvz:]
     dpdy = _banded_left(bgsy, GH[:, 2 * nvz:], nb, bs, w, terms)
-    outs[0][0] = (u_ref[0] - dpdx).astype(outs[0].dtype)
-    outs[1][0] = (v_ref[0] - dpdy).astype(outs[1].dtype)
-    outs[2][0] = (w_ref[0] - dpdz).astype(outs[2].dtype)
+    un = u_ref[0] - dpdx
+    vn = v_ref[0] - dpdy
+    wn = w_ref[0] - dpdz
+    outs[0][0] = un.astype(outs[0].dtype)
+    outs[1][0] = vn.astype(outs[1].dtype)
+    outs[2][0] = wn.astype(outs[2].dtype)
+    if d2:
+        # next step's z sweep on the corrected slab (lane-axis windowed
+        # banded sweep, _pencil_kernel math on a resident plane)
+        n = un.shape[1]
+        nbz = n // zbs
+        conv_ext = jnp.concatenate([wn[:, n - zw:], wn, wn[:, :zw]],
+                                   axis=1)
+        prec = (jax.lax.Precision.HIGHEST if terms == 0
+                else jax.lax.Precision.DEFAULT)
+        dn2 = (((1,), (1,)), ((), ()))
+        for c, q in enumerate((un, vn, wn)):
+            ext = jnp.concatenate([q[:, n - zw:], q, q[:, :zw]], axis=1)
+            qs = _split(ext, terms)
+            ps = _split(ext * conv_ext, terms)
+            S, D = ((sa2, da2) if c == 2 else (st2, dt2))
+            blocks = []
+            for b in range(nbz):
+                sl = slice(b * zbs, b * zbs + zbs + 2 * zw)
+                Sb = tuple(M[b] for M in S)
+                Db = tuple(M[b] for M in D)
+                stacked = _dot_split(tuple(x[:, sl] for x in qs), Sb,
+                                     dn2, prec)
+                dq = stacked[:, :zbs]
+                d2q = stacked[:, zbs:]
+                dqd = _dot_split(tuple(x[:, sl] for x in ps), Db, dn2,
+                                 prec)
+                conv = wn[:, b * zbs:(b + 1) * zbs]
+                blocks.append(-0.5 * (conv * dq + dqd) + nu * d2q)
+            r = jnp.concatenate(blocks, axis=1)
+            outs[3 + c][0] = r.astype(outs[3 + c].dtype)
 
 
 def pipe3_supported(ns, terms=3) -> bool:
@@ -1288,7 +1338,8 @@ def pipe3_supported(ns, terms=3) -> bool:
             and oy.interpl_v2p.n_out == oy.interpl_v2p.n_in)
 
 
-def make_pressure_pipe3(ns, terms=2, t1=8, t2=128, interpret=False):
+def make_pressure_pipe3(ns, terms=2, t1=8, t2=128, interpret=False,
+                        d2_sweep=False):
     """Build fn(u, v, w) -> (u', v', w') — the full keep_pressure=False
     projection as the 3-kernel pipeline described above. Raises
     ValueError when the configuration is outside the fast path."""
@@ -1395,22 +1446,45 @@ def make_pressure_pipe3(ns, terms=2, t1=8, t2=128, interpret=False):
           + parts(Teb.T) + parts(Tob.T) + parts(bmats["giy"])
           + parts(bmats["gsy"])
           + [jnp.asarray(w_perm.reshape(ny, 1), jnp.float32)])
+    mC2 = []
+    zbs, zw = 128, 64
+    if d2_sweep:
+        from .pallas_kernels import _stack_banded
+        if nz % zbs or nz < zbs + 2 * zw:
+            raise ValueError("d2-in-C needs a lane-tileable z extent")
+        oz = ns.ops[2]
+        sa2 = _stack_banded((oz.der1st, oz.der2nd), zw, zbs)
+        st2 = _stack_banded((oz.der1st_sym, oz.der2nd_sym), zw, zbs)
+        da2 = banded_blocks(oz.der1st_sym, zw, zbs, tol=_BAND_TOL)
+        dt2 = banded_blocks(oz.der1st, zw, zbs, tol=_BAND_TOL)
+        for M in (sa2, st2, da2, dt2):
+            mC2 += parts(M)
+    n_out_c = 6 if d2_sweep else 3
     kC = functools.partial(_pipe_c_kernel, terms=terms, nvz=nvz, nb=nb,
-                           bs=bbs, w=bw)
+                           bs=bbs, w=bw, d2=d2_sweep,
+                           nu=float(ns.nu), zbs=zbs, zw=zw)
     c_specs = [plane] * 2 + [plane] * 3 \
-        + [_const_spec(np.asarray(p).shape) for p in mC]
+        + [_const_spec(np.asarray(p).shape) for p in mC] \
+        + [_const_spec(np.asarray(p).shape) for p in mC2]
 
     def c_fn(X, Y, u, v, w):
-        return pl.pallas_call(
-            kC, grid=(nx,), in_specs=c_specs, out_specs=[plane] * 3,
-            out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), u.dtype)] * 3,
+        outs = pl.pallas_call(
+            kC, grid=(nx,), in_specs=c_specs,
+            out_specs=[plane] * n_out_c,
+            out_shape=[jax.ShapeDtypeStruct((nx, ny, nz),
+                                            u.dtype)] * n_out_c,
             interpret=interpret, compiler_params=_cparams(1),
-        )(X, Y, u, v, w, *mC)
+        )(X, Y, u, v, w, *mC, *mC2)
+        return outs
 
     def fn(u, v, w):
         a, e = a_fn(u, v, w)
         X, Y = b_fn(a, e)
-        return tuple(c_fn(X, Y, u, v, w))
+        outs = c_fn(X, Y, u, v, w)
+        if d2_sweep:
+            return tuple(outs[:3]), tuple(outs[3:])
+        return tuple(outs)
 
     fn.a_fn, fn.b_fn, fn.c_fn = a_fn, b_fn, c_fn
+    fn.d2_sweep = d2_sweep
     return fn
