@@ -58,12 +58,36 @@ case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                verbose=False, keep_pressure=False)
 dmesh = make_device_mesh(ny, nz, devs)
 
+state = None
+if int(np.prod(dims)) > 512 ** 3 // 2:
+    # Big grids (the 1024^3 multi-chip target): don't materialise the
+    # numpy ICs (4 GiB/field at 1024^3) — the AOT path only needs
+    # ShapeDtypeStructs. Build the state SKELETON from a small proxy
+    # case with identical params (same pytree structure; every array
+    # with >=3 dims carries the grid in its trailing 3 axes) and remap
+    # the trailing dims to the target grid.
+    small = TGVCase(Mesh((64,) * 3, (2 * np.pi,) * 3,
+                         ((BC.PERIODIC, BC.PERIODIC),) * 3),
+                    params, dtype=jnp.float32, monitor_path=None,
+                    verbose=False, keep_pressure=False)
+    state = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape[:-3] + dims if x.ndim >= 3 else x.shape, x.dtype),
+        small.initial_state())
+
 assert sharded_transeq_v3_supported(case.solver, dmesh), \
     "v3 transeq kernels inactive at this size -- pick a kernel-active grid"
-assert repencil_supported(case.solver, dmesh), \
-    "repencilled projection inactive at this size"
+repencil = repencil_supported(case.solver, dmesh)
+if not repencil:
+    # e.g. 1024^3: the merged slab kernel needs full (y,z) planes and
+    # a 1024^2-plane footprint (~130 MB) exceeds the 64 MB VMEM cap
+    # (ops/pallas_poisson.slab_pressure_supported), so the projection
+    # runs on the GSPMD spectral path -- still a valid multi-chip
+    # program, just without the repencilled kernel stack.
+    print("note: repencilled slab projection inactive at this size; "
+          "projection compiles on the GSPMD spectral path")
 
-step, sds = make_sharded_step(case, dmesh, aot=True)
+step, sds = make_sharded_step(case, dmesh, state=state, aot=True)
 print(f"lowering full sharded step: {dims} grid on {topo_name} "
       f"({ny}x{nz} mesh) ...", flush=True)
 compiled = step.lower(sds).compile()
@@ -75,9 +99,12 @@ census = {op: len(re.findall(rf"\b{op}(?:-start)?\(", txt))
 n_mosaic = len(re.findall(r'custom_call_target="tpu_custom_call"', txt))
 print(f"collective census: {census}; mosaic kernels: {n_mosaic}")
 
-ok = (census["collective-permute"] > 0 and census["all-to-all"] > 0
-      and census["all-gather"] == 0 and census["reduce-scatter"] == 0
-      and n_mosaic > 0)
+ok = census["collective-permute"] > 0 and n_mosaic > 0
+if repencil:
+    # full kernel stack: repencil all-to-alls present, and no GSPMD
+    # gather/scatter fallbacks anywhere
+    ok = ok and (census["all-to-all"] > 0 and census["all-gather"] == 0
+                 and census["reduce-scatter"] == 0)
 print(("PASS" if ok else "FAIL")
       + ": full sharded step AOT-compiled for a deviceless TPU topology")
 sys.exit(0 if ok else 1)

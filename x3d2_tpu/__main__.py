@@ -35,8 +35,10 @@ def main(argv=None):
     parser.add_argument("input", help="namelist input file (.x3d)")
     parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--mesh", type=int, nargs=2, metavar=("NY", "NZ"),
-                        help="shard over an NYxNZ device mesh")
+    parser.add_argument("--mesh", type=int, nargs="+", metavar="N",
+                        help="shard over a device mesh: NY NZ "
+                             "(x kept whole, the fast path) or NX NY NZ "
+                             "(x-decomposed operator path)")
     parser.add_argument("--coordinator", default=None,
                         help="multi-host: coordinator host:port "
                              "(or set JAX_COORDINATOR_ADDRESS / "
@@ -62,19 +64,21 @@ def main(argv=None):
 
     # Honour the input file's decomposition request (reference
     # mesh.f90:160-194 accepts any nproc_dir(3)). On TPU, x is the
-    # lane/solve axis — every compact solve and the spectral x stage
-    # keep it whole — so an x-decomposition request is rejected loudly
-    # rather than silently ignored; (y, z) requests become the device
-    # mesh unless --mesh overrides them.
+    # lane/solve axis — the Pallas kernel fast paths want it whole —
+    # but nproc_dir(1) > 1 is supported like the reference: the mesh
+    # gains an 'x' axis and the step runs the halo-operator + GSPMD
+    # spectral path (parallel/topo.make_device_mesh). A warning flags
+    # the perf difference so a (1, NY, NZ) layout stays the default.
     npd = tuple(int(p) for p in cfg.domain.nproc_dir)
-    if npd[0] > 1:
-        raise SystemExit(
-            f"nproc_dir = {npd}: x-direction decomposition "
-            "(nproc_dir(1) > 1) is not supported on TPU — x is the "
-            "lane/solve axis. Shard over (y, z) instead: set "
-            "nproc_dir = 1, NY, NZ or pass --mesh NY NZ.")
-    if not args.mesh and npd[1] * npd[2] > 1:
-        args.mesh = (npd[1], npd[2])
+    if args.mesh is not None and len(args.mesh) not in (2, 3):
+        raise SystemExit("--mesh takes NY NZ or NX NY NZ")
+    if not args.mesh and npd[0] * npd[1] * npd[2] > 1:
+        args.mesh = npd if npd[0] > 1 else (npd[1], npd[2])
+    if args.mesh and len(args.mesh) == 3 and args.mesh[0] > 1 \
+            and is_primary():
+        print(f"note: x-decomposed mesh {tuple(args.mesh)} — the Pallas "
+              "kernel fast paths need x whole; running the halo-operator "
+              "path (prefer 1 x NY x NZ on TPU slices)")
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
@@ -104,7 +108,11 @@ def main(argv=None):
 
     if args.mesh:
         from .parallel import make_device_mesh, make_sharded_step, shard_state
-        dmesh = make_device_mesh(args.mesh[0], args.mesh[1])
+        if len(args.mesh) == 3:
+            dmesh = make_device_mesh(args.mesh[1], args.mesh[2],
+                                     nproc_x=args.mesh[0])
+        else:
+            dmesh = make_device_mesh(args.mesh[0], args.mesh[1])
         step, state = make_sharded_step(case, dmesh)
         case._step = step
         fresh = not io_mgr.checkpoint_cfg.restart_from_checkpoint

@@ -24,9 +24,16 @@ from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def make_device_mesh(nproc_y: int, nproc_z: int, devices=None) -> DeviceMesh:
-    """2-D device mesh over (y, z), like the reference's nproc_dir with
-    nproc_dir(1)==1 (x kept whole)."""
+def make_device_mesh(nproc_y: int, nproc_z: int, devices=None,
+                     nproc_x: int = 1) -> DeviceMesh:
+    """Device mesh over (y, z) — or (x, y, z) when nproc_x > 1 — the
+    analogue of the reference's arbitrary nproc_dir(3) decomposition
+    (mesh.f90:160-194 decomposition_generic). The default keeps x whole
+    (the lane/solve axis: every Pallas kernel and the spectral x stage
+    want full lines); an x-decomposed mesh runs the operator path via
+    ppermute halo applies along x (parallel/halo.py is axis-generic) and
+    the projection via GSPMD spectral contractions — correct everywhere,
+    without the single-axis kernel fast paths."""
     if devices is None:
         # honour a pinned jax_default_device (e.g. the CPU backend under
         # the axon relay, tests/conftest.py): build the mesh from that
@@ -38,9 +45,12 @@ def make_device_mesh(nproc_y: int, nproc_z: int, devices=None) -> DeviceMesh:
             # jax_default_device may be a Device or a platform string
             platform = dd if isinstance(dd, str) else dd.platform
             devices = jax.devices(platform)
-    n = nproc_y * nproc_z
+    n = nproc_x * nproc_y * nproc_z
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if nproc_x > 1:
+        dev = np.asarray(devices[:n]).reshape(nproc_x, nproc_y, nproc_z)
+        return DeviceMesh(dev, axis_names=("x", "y", "z"))
     dev = np.asarray(devices[:n]).reshape(nproc_y, nproc_z)
     return DeviceMesh(dev, axis_names=("y", "z"))
 
@@ -53,7 +63,8 @@ def field_spec(dmesh: DeviceMesh = None, shape=None) -> P:
         return P(None, "y", "z")
     ny = dmesh.shape["y"]
     nz = dmesh.shape["z"]
-    return P(None,
+    nx = dmesh.shape["x"] if "x" in dmesh.axis_names else 1
+    return P("x" if nx > 1 and shape[-3] % nx == 0 else None,
              "y" if shape[-2] % ny == 0 else None,
              "z" if shape[-1] % nz == 0 else None)
 
@@ -100,6 +111,8 @@ def make_halo_solver(solver, dmesh: DeviceMesh, w=None):
     dims = solver.mesh.dims(DataLoc.VERT)
     spec = tuple(field_spec(dmesh, dims))
     mesh_axes = {1: "y", 2: "z"}
+    if "x" in dmesh.axis_names:
+        mesh_axes[0] = "x"
     new_ops, wrapped = [], False
     for axis in range(3):
         o = solver.ops[axis]
@@ -168,7 +181,11 @@ def make_sharded_step(case, dmesh: DeviceMesh, state=None,
     # (parallel/shard_kernels.py) whenever the local shards are tileable;
     # interpret mode on the virtual CPU mesh (no Mosaic there)
     import os
-    if os.environ.get("X3D2_PALLAS", "1") != "0":
+    x_sharded = "x" in dmesh.axis_names and dmesh.shape["x"] > 1
+    if os.environ.get("X3D2_PALLAS", "1") != "0" and not x_sharded:
+        # the Pallas fast paths (v3 sweeps, x-apply, repencilled slabs)
+        # assume full x lines per shard; an x-decomposed mesh runs the
+        # halo-operator + GSPMD spectral path built above
         from ..ops.compact import PRECISION
         from .shard_kernels import (make_sharded_transeq_v3,
                                     sharded_transeq_v3_supported,
