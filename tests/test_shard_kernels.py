@@ -245,3 +245,38 @@ def test_collective_byte_volumes_match_scaling_model():
     assert cnt_a == 14, got          # 7 fields x 2 tiled axis steps
     moved = bytes_a * (py - 1) // py  # symmetric mesh: same per axis
     assert moved == V_a2a, (moved, V_a2a)
+
+
+def test_repencil_einsum_mid_matches_kernel_mid(monkeypatch):
+    """The XLA einsum mid (make_mid_local.einsum — the 1024^3 path,
+    where full-plane Pallas mids exceed the VMEM cap) replays the same
+    stage bodies on the same split matrices, so the repencilled
+    projection must match the kernel-mid variant near bit-exactly and
+    the single-device projection at the usual f32 tolerance."""
+    from x3d2_tpu.parallel.shard_kernels import (make_repencilled_pressure,
+                                                repencil_supported)
+    from x3d2_tpu.parallel.topo import shard_state
+    dims = (64, 128, 256)
+    ns = _solver(dims)
+    dmesh = make_device_mesh(2, 2)
+    assert repencil_supported(ns, dmesh)
+    rng = np.random.default_rng(11)
+    u, v, w = (jnp.asarray(rng.standard_normal(dims), jnp.float32)
+               for _ in range(3))
+    st = shard_state(dmesh, {"u": u, "v": v, "w": w})
+
+    fn_k = make_repencilled_pressure(ns, dmesh, terms=2, interpret=True)
+    got_k = jax.jit(lambda a, b, c: fn_k(a, b, c, True))(
+        st["u"], st["v"], st["w"])
+    monkeypatch.setenv("X3D2_EINSUM_MID", "1")
+    fn_e = make_repencilled_pressure(ns, dmesh, terms=2, interpret=True)
+    got_e = jax.jit(lambda a, b, c: fn_e(a, b, c, True))(
+        st["u"], st["v"], st["w"])
+
+    want = ns.pressure_correction(u, v, w, keep_pressure=True)
+    for ge, gk, e, name in zip(got_e, got_k, want, ("u", "v", "w", "p")):
+        scale = float(jnp.max(jnp.abs(e))) + 1e-30
+        d_mid = float(jnp.max(jnp.abs(ge - gk)))
+        assert d_mid < 2e-6 * scale, f"{name} vs kernel mid: {d_mid:.2e}"
+        err = float(jnp.max(jnp.abs(ge - e)))
+        assert err < 3e-4 * scale, f"{name}: {err:.2e} vs {scale:.2e}"

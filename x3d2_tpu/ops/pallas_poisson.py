@@ -187,12 +187,16 @@ def _psplit_right(x, e_parts, o_parts, terms):
 
 
 def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w,
-                    bfly=False, bfz=False):
+                    bfly=False, bfz=False, i=None):
     """Shared divergence-y/z + spectral-solve computation on one slab:
     m1 = y-stage matrix parts (banded Iy/Sy + dense Ty — or its
     butterfly split A + 4 diagonals — when banded_y, else
     transform-folded dense iy/sy) followed by iz, sz parts; tabs =
-    (A, B, Myz, k2x, tx2, mx) refs. Returns the spectral solution q."""
+    (A, B, Myz, k2x, tx2, mx) refs. Returns the spectral solution q.
+
+    `i` is this slab's index into the per-plane scalar tables; defaults
+    to the Pallas grid position (the body also runs as plain JAX under
+    vmap — make_mid_einsum — where the caller passes i explicitly)."""
     nparts = max(terms, 1)
     iy, sy = m1[:nparts], m1[nparts:2 * nparts]
     if banded_y and bfly:
@@ -242,7 +246,8 @@ def _div_solve_body(du, dv, dw, m1, tabs, terms, banded_y, nb, bs, w,
     # hit indicator per plane, Myz the (y,z) hit indicator table, and
     # the zeroed set is their INTERSECTION (the reference kernels zero
     # only `i == nx/2+1 .and. k == nz/2+1`, spectral_processing.f90:216)
-    i = pl.program_id(0)
+    if i is None:
+        i = pl.program_id(0)
     waves = k2x_ref[i] * A_ref[...] + tx2_ref[i] * B_ref[...]
     ok = jnp.abs(waves) >= _EPS
     inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
@@ -394,7 +399,7 @@ def _scalar_spec(nx):
     return pl.BlockSpec((nx,), lambda i: (0,), memory_space=pltpu.SMEM)
 
 
-def slab_pressure_supported(ns, terms=3) -> bool:
+def slab_pressure_supported(ns, terms=3, structure_only=False) -> bool:
     """MatmulPoisson without stretching; slab dims obeying the Mosaic
     last-two-dims tiling rules (sublane % 8, lane % 128) for both the
     VERT-sized and CELL-sized y/z extents; merged-kernel VMEM footprint
@@ -414,6 +419,10 @@ def slab_pressure_supported(ns, terms=3) -> bool:
             and ncz % 128 == 0 and nvz % 128 == 0
             and min(ncy, ncz) >= 128):
         return False
+    if structure_only:
+        # the caller provides a non-VMEM mid (make_mid_local.einsum);
+        # only the structural gates above apply
+        return True
     # merged mid-kernel VMEM footprint: double-buffered pipeline planes
     # (3 VERT inputs, q CELL + 3 VERT outputs), resident matrix parts
     # (dense worst case: m1 = iy,sy,iz,sz; m2 = gz_is,gy_is,gy_i as
@@ -679,6 +688,36 @@ def make_pressure_slab(ns, terms=2, interpret=False):
               k2x_l, tx2_l, mx_l)
 
         return mid_local
+
+    def make_mid_einsum(nx_loc):
+        """Plain-XLA replay of the merged mid kernel over a local
+        x-plane batch: the SAME m1/m2 split matrices, solve tables and
+        stage bodies (_div_solve_body/_grad_body run as ordinary JAX
+        under vmap), so the arithmetic is identical to the Pallas mid.
+        Used by the repencilled sharded projection when a full
+        (y,z)-plane kernel exceeds the VMEM cap — e.g. 1024^2 planes at
+        1024^3 cost 112-126 MB vs the 64 MB limit (docs/SCALING.md) —
+        where the alternative is GSPMD all-reducing full spectral
+        fields (~5x the repencil's all-to-all volume per chip)."""
+
+        def per_plane(du_p, dv_p, dw_p, k2, tx2, mxi):
+            tabs = (tables[0], tables[1], tables[2],
+                    k2[None], tx2[None], mxi[None])
+            q = _div_solve_body(du_p, dv_p, dw_p, m1, tabs, terms,
+                                banded_y, nb, bbs, bw, bfly, bfz, i=0)
+            p_zy, dpdy, dpdz = _grad_body(q, m2, terms, banded_y,
+                                          nvy, nvz, nb, bbs, bw,
+                                          bfly, bfz)
+            dt = du_p.dtype
+            return (q.astype(dt), p_zy.astype(dt), dpdy.astype(dt),
+                    dpdz.astype(dt))
+
+        def mid_einsum(du, dv, dw, k2x_l, tx2_l, mx_l):
+            return jax.vmap(per_plane)(du, dv, dw, k2x_l, tx2_l, mx_l)
+
+        return mid_einsum
+
+    make_mid_local.einsum = make_mid_einsum
 
     # expose the solve tables so the sharded repencilled projection can
     # slice the SAME arrays per shard instead of re-deriving them

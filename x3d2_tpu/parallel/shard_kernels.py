@@ -254,7 +254,12 @@ def repencil_supported(solver, dmesh) -> bool:
     device's x-plane batch. Requires the single-chip slab gate plus x
     divisibility by the device count."""
     from ..ops.pallas_poisson import slab_pressure_supported
-    if not slab_pressure_supported(solver):
+    if not slab_pressure_supported(solver, structure_only=True):
+        # structural gates only: when the full-plane Pallas mid exceeds
+        # the VMEM cap (1024^2 planes), make_repencilled_pressure swaps
+        # in the XLA einsum mid (make_mid_local.einsum) — repencilling
+        # stays worthwhile (all-to-all volume ~5x below the GSPMD
+        # all-reduce fallback, docs/SCALING.md)
         return False
     # the local x-stage kernels need every device-local (y,z) block to
     # satisfy their tiling — without this the x-apply grid collapses to
@@ -285,14 +290,23 @@ def make_repencilled_pressure(solver, dmesh: DeviceMesh, terms=2,
 
     Exactly the single-chip arithmetic (same matrices, same kernels), so
     sharded == single up to collective reduction order."""
-    from ..ops.pallas_poisson import make_pressure_slab
+    import os
+    from ..ops.pallas_poisson import (make_pressure_slab,
+                                      slab_pressure_supported)
     slab = make_pressure_slab(solver, terms=terms, interpret=interpret)
     xk, make_mid_local = slab[2], slab[4]
     dims = solver.mesh.dims(DataLoc.VERT)
     nxc, ny, nz = solver.mesh.dims(DataLoc.CELL)
     nproc = dmesh.devices.size
     nx_loc = nxc // nproc
-    mid_local = make_mid_local(nx_loc)
+    # full-plane Pallas mid when it fits the VMEM cap; otherwise (or on
+    # request) the XLA einsum replay of the same stage bodies — the
+    # 1024^3 configuration, where 1024^2 planes cost 112-126 MB VMEM
+    if (slab_pressure_supported(solver)
+            and os.environ.get("X3D2_EINSUM_MID", "0") != "1"):
+        mid_local = make_mid_local(nx_loc)
+    else:
+        mid_local = make_mid_local.einsum(nx_loc)
     fspec = P(*field_spec(dmesh, dims))
     po = solver.poisson
     # the SAME per-plane solve tables the single-chip mid kernel uses
