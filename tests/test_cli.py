@@ -3,9 +3,6 @@ tiny grid, full IO) — the xcompact.f90 main-program analogue."""
 
 import os
 
-import numpy as np
-import pytest
-
 from x3d2_tpu.__main__ import main
 
 
@@ -61,16 +58,22 @@ def test_cli_tgv_full_io(tmp_path, capsys):
     assert "Restart from" in out2
 
 
-def test_cli_rejects_x_decomposition(tmp_path):
+def test_cli_accepts_x_decomposition(tmp_path, capsys):
     """nproc_dir(1) > 1 (x-decomposition, reference mesh.f90:160-194)
-    must be rejected loudly — x is the TPU lane/solve axis — not
-    silently ignored."""
+    builds an (x, y, z) device mesh and runs the halo-operator path;
+    the CLI prints a note that the Pallas fast paths gate off (x is
+    the TPU lane/solve axis, so a 1 x NY x NZ layout stays preferred)."""
     os.chdir(tmp_path)
     inp = tmp_path / "input.x3d"
     inp.write_text(INPUT.replace("nproc_dir = 1, 1, 1",
-                                 "nproc_dir = 2, 1, 1"))
-    with pytest.raises(SystemExit, match="x-direction decomposition"):
-        main([str(inp), "--dtype", "f64"])
+                                 "nproc_dir = 2, 1, 1")
+                   .replace("snapshot_freq = 4", "snapshot_freq = 0")
+                   .replace("checkpoint_freq = 2", "checkpoint_freq = 0"))
+    main([str(inp), "--dtype", "f64"])
+    out = capsys.readouterr().out
+    assert "x-decomposed mesh (2, 1, 1)" in out
+    assert "Flow case: tgv" in out
+    assert os.path.exists(tmp_path / "monitoring.csv")
 
 
 def test_cli_honours_yz_nproc_dir(tmp_path, capsys):
