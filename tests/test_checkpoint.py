@@ -135,3 +135,38 @@ def test_checkpoint_cleanup_and_latest(tmp_path):
     files = glob.glob(f"{prefix}_*.npz")
     assert len(files) == 1  # only latest kept
     assert files[0].endswith("_000006.npz")
+
+
+def test_stats_restore_through_restart(tmp_path):
+    """Running statistics survive a checkpoint/restart cycle bit-exactly
+    (reference restores stats on restart, checkpoint_manager.f90:346-501;
+    accumulators per stats.f90:29-59). Accumulate 10 steps in run A with
+    a checkpoint at step 5; run B restarts from it, accumulates the same
+    5 further samples, and must land on identical accumulators."""
+    prefix = str(tmp_path / "sck")
+    stats_cfg = StatsConfig(initstat=1, istatfreq=1, istatout=0,
+                            stats_prefix=str(tmp_path / "stats"))
+    ck = CheckpointConfig(checkpoint_freq=5, checkpoint_prefix=prefix,
+                          keep_checkpoint=True)
+
+    case_a = make_case(tmp_path)
+    io_a = IOManager(case_a, ck, stats_cfg)
+    case_a.run(n_iters=10, state=case_a.initial_state(),
+               n_output=10**9, io_manager=io_a)
+    assert io_a.stats_mgr.sample_count == 10
+
+    case_b = make_case(tmp_path)
+    ck2 = CheckpointConfig(restart_from_checkpoint=True,
+                           restart_file=f"{prefix}_000005.npz",
+                           checkpoint_prefix=prefix)
+    io_b = IOManager(case_b, ck2, stats_cfg)
+    state_b = io_b.handle_restart(case_b.initial_state())
+    # the restored accumulators carry the first 5 samples
+    assert io_b.stats_mgr.sample_count == 5
+    case_b.run(n_iters=5, state=state_b, n_output=10**9, io_manager=io_b)
+
+    assert io_b.stats_mgr.sample_count == 10
+    acc_a, acc_b = io_a.stats_mgr.acc, io_b.stats_mgr.acc
+    assert set(acc_a) == set(acc_b)
+    for k in acc_a:
+        assert np.array_equal(np.asarray(acc_a[k]), np.asarray(acc_b[k])), k
