@@ -156,3 +156,29 @@ def test_pipe3_matches_production_chain(terms):
     assert p is None and jnp.array_equal(un, got[0])
     uk, _, _, pk = ns.pressure_correction(u, v, w, keep_pressure=True)
     assert pk is not None
+
+
+@pytest.mark.parametrize("terms", [2, 3])
+def test_tiled_mid_matches_merged_mid(terms):
+    """The y/z-tiled mid kernels (the large-plane path: VMEM scales with
+    tile size, keeping the kernel projection active at 1024^2 planes)
+    reorder the merged mid's commuting y-/z-stage operators, so they
+    must match the full-plane mid to reassociation-level noise on the
+    same inputs and solve tables."""
+    ns = _build((PER,) * 3)
+    fns = make_pressure_slab(ns, terms=terms, interpret=True)
+    mk = fns[4]
+    assert mk.tiled_supported
+    nx = ns.poisson.nc[0]
+    ny, nz = ns.poisson.nc[1], ns.poisson.nc[2]
+    rng = np.random.default_rng(23)
+    du, dv, dw = (jnp.asarray(rng.standard_normal((nx, ny, nz)),
+                              jnp.float32) for _ in range(3))
+    k2x, tx2, mx = mk.tables[3:6]
+    ref = mk(nx)(du, dv, dw, k2x, tx2, mx)
+    got = mk.tiled(nx)(du, dv, dw, k2x, tx2, mx)
+    for r, g, name in zip(ref, got, ("q", "p_zy", "dpdy", "dpdz")):
+        assert r.shape == g.shape, name
+        scale = float(jnp.max(jnp.abs(r))) + 1e-30
+        err = float(jnp.max(jnp.abs(r - g))) / scale
+        assert err < 1e-4, f"{name}: rel err {err:.2e}"

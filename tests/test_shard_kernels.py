@@ -280,3 +280,46 @@ def test_repencil_einsum_mid_matches_kernel_mid(monkeypatch):
         assert d_mid < 2e-6 * scale, f"{name} vs kernel mid: {d_mid:.2e}"
         err = float(jnp.max(jnp.abs(ge - e)))
         assert err < 3e-4 * scale, f"{name}: {err:.2e} vs {scale:.2e}"
+
+
+def test_repencil_tiled_mid_matches_kernel_mid(monkeypatch):
+    """When the full-plane Pallas mid fails the VMEM gate (1024^2
+    planes) but the fast-path structure holds, the repencilled
+    projection must select the y/z-TILED mid kernels — not the einsum
+    replay — and match both the kernel-mid variant and the
+    single-device projection. The VMEM gate is forced closed here to
+    exercise the selection on a test-sized grid."""
+    import x3d2_tpu.ops.pallas_poisson as pp
+    from x3d2_tpu.parallel.shard_kernels import (make_repencilled_pressure,
+                                                repencil_supported)
+    from x3d2_tpu.parallel.topo import shard_state
+    dims = (64, 128, 256)
+    ns = _solver(dims)
+    dmesh = make_device_mesh(2, 2)
+    rng = np.random.default_rng(29)
+    u, v, w = (jnp.asarray(rng.standard_normal(dims), jnp.float32)
+               for _ in range(3))
+    st = shard_state(dmesh, {"u": u, "v": v, "w": w})
+
+    fn_k = make_repencilled_pressure(ns, dmesh, terms=2, interpret=True)
+    got_k = jax.jit(lambda a, b, c: fn_k(a, b, c, True))(
+        st["u"], st["v"], st["w"])
+
+    orig = pp.slab_pressure_supported
+
+    def vmem_gate_closed(ns_, terms=3, structure_only=False):
+        return structure_only and orig(ns_, terms, structure_only=True)
+
+    monkeypatch.setattr(pp, "slab_pressure_supported", vmem_gate_closed)
+    assert repencil_supported(ns, dmesh)
+    fn_t = make_repencilled_pressure(ns, dmesh, terms=2, interpret=True)
+    got_t = jax.jit(lambda a, b, c: fn_t(a, b, c, True))(
+        st["u"], st["v"], st["w"])
+
+    want = ns.pressure_correction(u, v, w, keep_pressure=True)
+    for gt, gk, e, name in zip(got_t, got_k, want, ("u", "v", "w", "p")):
+        scale = float(jnp.max(jnp.abs(e))) + 1e-30
+        d_mid = float(jnp.max(jnp.abs(gt - gk)))
+        assert d_mid < 1e-4 * scale, f"{name} vs kernel mid: {d_mid:.2e}"
+        err = float(jnp.max(jnp.abs(gt - e)))
+        assert err < 3e-4 * scale, f"{name}: {err:.2e} vs {scale:.2e}"

@@ -79,11 +79,9 @@ assert sharded_transeq_v3_supported(case.solver, dmesh), \
     "v3 transeq kernels inactive at this size -- pick a kernel-active grid"
 repencil = repencil_supported(case.solver, dmesh)
 if not repencil:
-    # e.g. 1024^3: the merged slab kernel needs full (y,z) planes and
-    # a 1024^2-plane footprint (~130 MB) exceeds the 64 MB VMEM cap
-    # (ops/pallas_poisson.slab_pressure_supported), so the projection
-    # runs on the GSPMD spectral path -- still a valid multi-chip
-    # program, just without the repencilled kernel stack.
+    # structurally unsupported mesh (tiling/divisibility gates): the
+    # projection runs on the GSPMD spectral path -- still a valid
+    # multi-chip program, just without the repencilled kernel stack.
     print("note: repencilled slab projection inactive at this size; "
           "projection compiles on the GSPMD spectral path")
 
@@ -99,12 +97,13 @@ census = {op: len(re.findall(rf"\b{op}(?:-start)?\(", txt))
 n_mosaic = len(re.findall(r'custom_call_target="tpu_custom_call"', txt))
 print(f"collective census: {census}; mosaic kernels: {n_mosaic}")
 
-ok = census["collective-permute"] > 0 and n_mosaic > 0
+# base criteria at every size: kernels active, halo ppermutes present,
+# and no GSPMD gather/scatter fallbacks regressing into the transeq/halo
+# path; all-to-all > 0 only applies when the repencilled projection is on
+ok = (census["collective-permute"] > 0 and n_mosaic > 0
+      and census["all-gather"] == 0 and census["reduce-scatter"] == 0)
 if repencil:
-    # full kernel stack: repencil all-to-alls present, and no GSPMD
-    # gather/scatter fallbacks anywhere
-    ok = ok and (census["all-to-all"] > 0 and census["all-gather"] == 0
-                 and census["reduce-scatter"] == 0)
+    ok = ok and census["all-to-all"] > 0
 print(("PASS" if ok else "FAIL")
       + ": full sharded step AOT-compiled for a deviceless TPU topology")
 sys.exit(0 if ok else 1)

@@ -381,6 +381,119 @@ def _pressure_mid_kernel(*refs, terms, nvy, nvz, banded_y, nb, bs, w,
     dpdz_ref[0] = dpdz.astype(dpdz_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Tiled mid kernels: the merged mid at plane sizes beyond the VMEM cap.
+#
+# The mid's y-stage operators (banded interp/stagder + the parity-split
+# transform) act on slab axis 0 and its z-stage operators on axis 1, so
+# the two families COMMUTE as linear maps: (Ty (x) I)(I (x) Iz) =
+# (I (x) Iz)(Ty (x) I). Reordering the merged body into y-ops / z-ops /
+# y-ops groups lets each group tile the axis it does NOT contract:
+#
+#   M1 (grid nx, nz/tz; blocks (1, ny, tz)):
+#       a = Ty (Iy du + Sy dv),  d = Ty (Iy dw)         [all y ops]
+#   M2 (grid nx, ny/ty; blocks (1, ty, nz)):
+#       F = Iz a + Sz d;  q = -F/waves (masked);
+#       (p_z | dpdz_s) = q Gz_is^T                      [all z ops]
+#   M3 (grid nx, nz/tz; blocks (1, ny, tz)):
+#       GH = Ti_y [p_z | dpdz_s];  p_zy,dpdz = Giy GH;
+#       dpdy = Gsy GH[:, p_z part]                      [all y ops]
+#
+# VMEM now scales with ny*tz / ty*nz instead of ny*nz, so 1024^2 (and
+# larger) planes keep the kernel projection active — the flagship-size
+# analogue of the reference's any-size cuFFTMp Poisson
+# (/root/reference/src/backend/cuda/poisson_fft.f90:124-181). Cost vs
+# the merged mid: the (a, d) and (p_z, dpdz_s) boundaries add 4 HBM
+# passes (15 vs 11 with q) — far below the einsum replay or GSPMD
+# spectral fallbacks. Only the production fast path is supported
+# (banded+butterfly y, parity z, square uniform operators).
+# ---------------------------------------------------------------------------
+
+
+def _mid_t1_kernel(*refs, terms, nb, bs, w):
+    """refs: du, dv, dw tiles + [biy, bsy, te, to] parts + outs a, d."""
+    nparts = max(terms, 1)
+    du_ref, dv_ref, dw_ref = refs[:3]
+    m = refs[3:3 + 4 * nparts]
+    biy = m[:nparts]
+    bsy = m[nparts:2 * nparts]
+    te = m[2 * nparts:3 * nparts]
+    to = m[3 * nparts:4 * nparts]
+    a_ref, d_ref = refs[3 + 4 * nparts:]
+    duv = (_banded_left(biy, du_ref[0], nb, bs, w, terms)
+           + _banded_left(bsy, dv_ref[0], nb, bs, w, terms))
+    dwm = _banded_left(biy, dw_ref[0], nb, bs, w, terms)
+    a_ref[0] = _bfly_fwd(te, to, duv, terms).astype(a_ref.dtype)
+    d_ref[0] = _bfly_fwd(te, to, dwm, terms).astype(d_ref.dtype)
+
+
+def _mid_t2_kernel(*refs, terms, nvz):
+    """refs: a, d tiles + [ize, izo, sze, szo, GE, GO] parts + table
+    tiles (A, B, Myz) + SMEM columns (k2x, tx2, mx) + outs q, p_z,
+    dpdz_s. The y rows arrive in block-parity mode order (M1's
+    butterfly), matching the q_perm-permuted table rows."""
+    nparts = max(terms, 1)
+    a_ref, d_ref = refs[:2]
+    m = refs[2:2 + 6 * nparts]
+    ize, izo = m[:nparts], m[nparts:2 * nparts]
+    sze, szo = m[2 * nparts:3 * nparts], m[3 * nparts:4 * nparts]
+    GE, GO = m[4 * nparts:5 * nparts], m[5 * nparts:6 * nparts]
+    A_ref, B_ref, Myz_ref, k2x_ref, tx2_ref, mx_ref = \
+        refs[2 + 6 * nparts:2 + 6 * nparts + 6]
+    q_ref, pz_ref, dpdzs_ref = refs[2 + 6 * nparts + 6:]
+    F = (_psplit_right(a_ref[0], ize, izo, terms)
+         + _psplit_right(d_ref[0], sze, szo, terms))
+    i = pl.program_id(0)
+    waves = k2x_ref[i] * A_ref[...] + tx2_ref[i] * B_ref[...]
+    ok = jnp.abs(waves) >= _EPS
+    inv = jnp.where(ok, -1.0 / jnp.where(ok, waves, 1.0), 0.0)
+    q = F * inv * (1.0 - mx_ref[i] * Myz_ref[...])
+    q_ref[0] = q.astype(q_ref.dtype)
+    # gradient z stage (inverse parity; _grad_body bfz branch)
+    hm = q.shape[1] // 2
+    h = nvz // 2
+    dn = (((1,), (1,)), ((), ()))
+    A2 = _dot_split(_split(q[:, :hm], terms),
+                    tuple(r[...] for r in GE), dn)
+    B2 = _dot_split(_split(q[:, hm:], terms),
+                    tuple(r[...] for r in GO), dn)
+    ai, as_ = A2[:, :h], A2[:, h:]
+    bi, bs_ = B2[:, :h], B2[:, h:]
+    pz_ref[0] = jnp.concatenate([ai + bi, ai - bi],
+                                axis=1).astype(pz_ref.dtype)
+    dpdzs_ref[0] = jnp.concatenate([as_ + bs_, as_ - bs_],
+                                   axis=1).astype(dpdzs_ref.dtype)
+
+
+def _mid_t3_kernel(*refs, terms, nb, bs, w, tz):
+    """refs: p_z, dpdz_s tiles + [tet, tot, bgiy, bgsy, wvec] parts +
+    outs p_zy, dpdy, dpdz."""
+    nparts = max(terms, 1)
+    pz_ref, dpdzs_ref = refs[:2]
+    m = refs[2:2 + 4 * nparts + 1]
+    tet = m[:nparts]
+    tot = m[nparts:2 * nparts]
+    bgiy = m[2 * nparts:3 * nparts]
+    bgsy = m[3 * nparts:4 * nparts]
+    wv_ref = m[4 * nparts]
+    pzy_ref, dpdy_ref, dpdz_ref = refs[2 + 4 * nparts + 1:]
+    both_z = jnp.concatenate([pz_ref[0], dpdzs_ref[0]], axis=1)
+    GH = _bfly_inv(tet, tot, wv_ref, both_z, terms)
+    both_i = _banded_left(bgiy, GH, nb, bs, w, terms)
+    dpdy = _banded_left(bgsy, GH[:, :tz], nb, bs, w, terms)
+    pzy_ref[0] = both_i[:, :tz].astype(pzy_ref.dtype)
+    dpdy_ref[0] = dpdy.astype(dpdy_ref.dtype)
+    dpdz_ref[0] = both_i[:, tz:].astype(dpdz_ref.dtype)
+
+
+def _tiled_mid_tiles(ny, nz):
+    """(ty, tz) for the tiled mid: largest Mosaic-aligned tiles that
+    divide the plane; (None, None) when no admissible tiling exists."""
+    ty = next((t for t in (128, 64, 32, 16, 8) if ny % t == 0), None)
+    tz = next((t for t in (256, 128) if nz % t == 0), None)
+    return ty, tz
+
+
 def _const_spec(shape):
     nd = len(shape)
     return pl.BlockSpec(shape, lambda *_: (0,) * nd,
@@ -717,7 +830,87 @@ def make_pressure_slab(ns, terms=2, interpret=False):
 
         return mid_einsum
 
+    # --- tiled mid (plane sizes beyond the VMEM cap) --------------------
+    ty_t, tz_t = _tiled_mid_tiles(ny, nz)
+    tiled_ok = (banded_y and bfly and bfz and nvy == ny and nvz == nz
+                and ty_t is not None and tz_t is not None)
+    if tiled_ok:
+        # conservative per-kernel VMEM: double-buffered pipeline tiles +
+        # resident matrix parts + ~6 tile-sized f32 live temporaries
+        by = 2 * terms * nb * bbs * (bbs + 2 * bw)       # banded pair
+        tf = 2 * terms * (ny // 2) ** 2                  # Te/To pair
+        zp = 4 * terms * (nz // 2) ** 2                  # Ize..Szo
+        gz = 2 * terms * nvz * (nz // 2)                 # GE/GO
+        v1 = 2 * 4 * 5 * ny * tz_t + 2 * (by + tf) + 6 * 4 * ny * tz_t
+        v2 = (2 * 4 * 5 * ty_t * nz + 2 * (zp + gz)
+              + 2 * 3 * 4 * ty_t * nz + 6 * 4 * ty_t * nz)
+        v3 = 2 * 4 * 5 * ny * tz_t + 2 * (tf + by) + 6 * 4 * ny * tz_t
+        tiled_ok = max(v1, v2, v3) <= VMEM_LIMIT.vmem_limit_bytes
+
+    def make_mid_tiled(nx_loc):
+        """Tiled replacement for make_mid_local at plane sizes whose
+        full-(y,z) kernel exceeds the VMEM cap: the three commuting-
+        stage kernels above, same signature and same results as the
+        merged mid up to fp reassociation of the stage order."""
+        if not tiled_ok:
+            raise ValueError("tiled mid needs the periodic-even fast "
+                             "path (banded+butterfly y, parity z)")
+        m_t1 = (parts(bmats["iy"]) + parts(bmats["sy"]) + parts(Teb)
+                + parts(Tob))
+        m_t2 = (parts(Ize) + parts(Izo) + parts(Sze) + parts(Szo)
+                + parts(GE) + parts(GO))
+        m_t3 = (parts(Teb.T) + parts(Tob.T) + parts(bmats["giy"])
+                + parts(bmats["gsy"])
+                + [jnp.asarray(w_perm.reshape(ny, 1), jnp.float32)])
+
+        zspec = pl.BlockSpec((1, ny, tz_t), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+        yspec = pl.BlockSpec((1, ty_t, nz), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+        tabspec = pl.BlockSpec((ty_t, nz), lambda i, j: (j, 0),
+                               memory_space=pltpu.VMEM)
+        scal2 = pl.BlockSpec((nx_loc,), lambda i, j: (0,),
+                             memory_space=pltpu.SMEM)
+        k1 = functools.partial(_mid_t1_kernel, terms=terms, nb=nb,
+                               bs=bbs, w=bw)
+        k2 = functools.partial(_mid_t2_kernel, terms=terms, nvz=nvz)
+        k3 = functools.partial(_mid_t3_kernel, terms=terms, nb=nb,
+                               bs=bbs, w=bw, tz=tz_t)
+        t1_specs = [zspec] * 3 + [_const_spec(p.shape) for p in m_t1]
+        t2_specs = ([yspec] * 2 + [_const_spec(p.shape) for p in m_t2]
+                    + [tabspec] * 3 + [scal2] * 3)
+        t3_specs = [zspec] * 2 + [_const_spec(np.asarray(p).shape)
+                                  for p in m_t3]
+
+        def mid_tiled(du, dv, dw, k2x_l, tx2_l, mx_l):
+            gz_ = (nx_loc, nz // tz_t)
+            gy_ = (nx_loc, ny // ty_t)
+            a, d = pl.pallas_call(
+                k1, grid=gz_, in_specs=t1_specs, out_specs=[zspec] * 2,
+                out_shape=[jax.ShapeDtypeStruct((nx_loc, ny, nz),
+                                                du.dtype)] * 2,
+                interpret=interpret, compiler_params=_cparams(2),
+            )(du, dv, dw, *m_t1)
+            q, p_z, dpdz_s = pl.pallas_call(
+                k2, grid=gy_, in_specs=t2_specs, out_specs=[yspec] * 3,
+                out_shape=[jax.ShapeDtypeStruct((nx_loc, ny, nz),
+                                                du.dtype)] * 3,
+                interpret=interpret, compiler_params=_cparams(2),
+            )(a, d, *m_t2, tables[0], tables[1], tables[2],
+              k2x_l, tx2_l, mx_l)
+            p_zy, dpdy, dpdz = pl.pallas_call(
+                k3, grid=gz_, in_specs=t3_specs, out_specs=[zspec] * 3,
+                out_shape=[jax.ShapeDtypeStruct((nx_loc, ny, nz),
+                                                du.dtype)] * 3,
+                interpret=interpret, compiler_params=_cparams(2),
+            )(p_z, dpdz_s, *m_t3)
+            return q, p_zy, dpdy, dpdz
+
+        return mid_tiled
+
     make_mid_local.einsum = make_mid_einsum
+    make_mid_local.tiled = make_mid_tiled
+    make_mid_local.tiled_supported = tiled_ok
 
     # expose the solve tables so the sharded repencilled projection can
     # slice the SAME arrays per shard instead of re-deriving them

@@ -251,15 +251,16 @@ def repencil_supported(solver, dmesh) -> bool:
     x-spectral divergence field to an x-sharded layout (two tiled
     all-to-alls over the mesh axes — the 2DECOMP/cuFFTMp repencilling
     pattern, reference decomp/2decomp) and run the merged kernel on each
-    device's x-plane batch. Requires the single-chip slab gate plus x
-    divisibility by the device count."""
+    device's x-plane batch. Requires the single-chip STRUCTURAL slab
+    gates plus x divisibility by the device count — not the VMEM gate:
+    when the full-plane Pallas mid exceeds the VMEM cap (1024^2 planes),
+    make_repencilled_pressure swaps in the tiled mid kernels (or the XLA
+    einsum mid as last resort) and repencilling stays worthwhile
+    (all-to-all volume ~5x below the GSPMD all-reduce fallback,
+    docs/SCALING.md)."""
     from ..ops.pallas_poisson import slab_pressure_supported
     if not slab_pressure_supported(solver, structure_only=True):
-        # structural gates only: when the full-plane Pallas mid exceeds
-        # the VMEM cap (1024^2 planes), make_repencilled_pressure swaps
-        # in the XLA einsum mid (make_mid_local.einsum) — repencilling
-        # stays worthwhile (all-to-all volume ~5x below the GSPMD
-        # all-reduce fallback, docs/SCALING.md)
+        # structural tiling gates failed
         return False
     # the local x-stage kernels need every device-local (y,z) block to
     # satisfy their tiling — without this the x-apply grid collapses to
@@ -299,12 +300,17 @@ def make_repencilled_pressure(solver, dmesh: DeviceMesh, terms=2,
     nxc, ny, nz = solver.mesh.dims(DataLoc.CELL)
     nproc = dmesh.devices.size
     nx_loc = nxc // nproc
-    # full-plane Pallas mid when it fits the VMEM cap; otherwise (or on
-    # request) the XLA einsum replay of the same stage bodies — the
-    # 1024^3 configuration, where 1024^2 planes cost 112-126 MB VMEM
-    if (slab_pressure_supported(solver)
+    # full-plane Pallas mid when it fits the VMEM cap (gate checked at
+    # the ACTUAL precision mode, not the worst case); large-plane
+    # meshes (1024^3: full planes cost 112-126 MB VMEM) fall to the
+    # y/z-tiled mid kernels, and only configurations outside the tiled
+    # fast path take the XLA einsum replay of the same stage bodies
+    if (slab_pressure_supported(solver, terms=terms)
             and os.environ.get("X3D2_EINSUM_MID", "0") != "1"):
         mid_local = make_mid_local(nx_loc)
+    elif (make_mid_local.tiled_supported
+            and os.environ.get("X3D2_EINSUM_MID", "0") != "1"):
+        mid_local = make_mid_local.tiled(nx_loc)
     else:
         mid_local = make_mid_local.einsum(nx_loc)
     fspec = P(*field_spec(dmesh, dims))
