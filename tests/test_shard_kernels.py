@@ -125,6 +125,22 @@ def test_sharded_step_with_kernels_matches_single():
         err = float(jnp.max(jnp.abs(sa[k] - sb[k])))
         assert err < 3e-4 * uscale, f"{k}: {err:.2e}"
 
+    # multi-step trajectory parity: halo/offset bugs that COMPOUND over
+    # steps (e.g. the r4 wrapped-halo double count) can hide in one-step
+    # noise — chase the KE series over >= 10 steps instead (the
+    # reference's distributed checks run real multi-rank trajectories,
+    # tests/verification/test_omp_tridiag.f90)
+    def ke(s):
+        return float(0.5 * jnp.mean(s["u"] ** 2 + s["v"] ** 2
+                                    + s["w"] ** 2))
+
+    ke_errs = []
+    for _ in range(9):
+        sa = ca._step(sa)
+        sb = compiled(sb)
+        ke_errs.append(abs(ke(sb) - ke(sa)) / ke(sa))
+    assert max(ke_errs) < 1e-4, f"KE series rel err {ke_errs}"
+
 
 def test_repencil_gate_rejects_untileable_locals():
     """Local nz below the x-apply lane tile must reject the repencilled

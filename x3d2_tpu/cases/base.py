@@ -102,6 +102,16 @@ class BaseCase:
         # comparison); X3D2_FUSED_AB=0 switches the fusion off for A/B
         # runs.
         import os as _os
+        # X3D2_BF16_OLDS=1 stores the AB derivative history in bfloat16
+        # (round-5 pass-count lever): the AB3 olds are 6 full-field
+        # reads + 3 writes of the ~53-pass step, and history only ever
+        # enters the update scaled by dt*c_j, so halving its bytes
+        # saves ~4.5 passes for a ~4e-3 relative rounding on an O(dt)
+        # term. Applies to both the fused-kernel and XLA AB paths;
+        # KE-parity impact measured via tools/ke_parity.py (README).
+        self._olds_dtype = (jnp.bfloat16 if (
+            _os.environ.get("X3D2_BF16_OLDS", "0") == "1"
+            and self.ti.kind == "AB" and self.ti.nolds >= 1) else None)
         self._fused_ab = None
         if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"
                 and self.ti.kind == "AB" and self.ti.nolds >= 1
@@ -134,14 +144,16 @@ class BaseCase:
                     self._fused_ab = make_fused_transeq_ab_v3(
                         self.solver.ops, self.solver.nu, dims,
                         self.ti.nolds, terms=terms,
-                        xdiv=(d64["sx"], d64["ix"]))
+                        xdiv=(d64["sx"], d64["ix"]),
+                        olds_dtype=self._olds_dtype)
                 except ValueError:
                     pass
             self._ab_is_xdiv = self._fused_ab is not None
             if self._fused_ab is None:
                 self._fused_ab = make_fused_transeq_ab_v3(
                     self.solver.ops, self.solver.nu, dims,
-                    self.ti.nolds, terms=terms)
+                    self.ti.nolds, terms=terms,
+                    olds_dtype=self._olds_dtype)
         # d2-in-C carry (round 4, experimental — X3D2_D2C=1 opts in):
         # the projection's kernel C also evaluates the NEXT step's
         # z-direction sweep on the just-corrected, VMEM-resident
@@ -172,7 +184,8 @@ class BaseCase:
                     self.solver, terms=terms, d2_sweep=True)
                 self._fused_ab_nod2 = _mkab(
                     self.solver.ops, self.solver.nu, dims,
-                    self.ti.nolds, terms=terms, skip_d2=True)
+                    self.ti.nolds, terms=terms, skip_d2=True,
+                    olds_dtype=self._olds_dtype)
                 self._d2_boot = jax.jit(_make_sweep(
                     self.solver.ops[2], self.solver.nu, 2, dims,
                     terms, False, {}))
@@ -287,7 +300,8 @@ class BaseCase:
             tmpl = (u, v, w)
             if nsp:
                 tmpl = tmpl + (state["phi"],)
-            state["olds"] = self.ti.empty_olds(tmpl)
+            state["olds"] = self.ti.empty_olds(tmpl,
+                                               dtype=self._olds_dtype)
             if self.params.compensated:
                 state["comp"] = tuple(jnp.zeros(f.shape, f.dtype)
                                       for f in tmpl)
@@ -414,6 +428,8 @@ class BaseCase:
                 for j, ph in enumerate(phi_olds):
                     phi = phi + dtc[1 + j] * ph
                 fields = mom + (phi,)
+                if self._olds_dtype is not None:
+                    prhs = prhs.astype(self._olds_dtype)
                 olds = olds + ((prhs,) + phi_olds[:-1],)
             else:
                 fields = mom

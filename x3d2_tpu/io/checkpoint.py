@@ -74,9 +74,14 @@ class CheckpointManager:
             # on-disk format matches round 1 (and the reference's "olds"
             # blocks, checkpoint_manager.f90:223-283)
             for i, o in enumerate(state["olds"]):
-                arrays[f"olds_{i}"] = (np.stack([gather_global(a)
-                                                 for a in o])
-                                       if len(o) else np.zeros((0,)))
+                arr = (np.stack([gather_global(a) for a in o])
+                       if len(o) else np.zeros((0,)))
+                if arr.dtype not in (np.float32, np.float64):
+                    # reduced-precision history (X3D2_BF16_OLDS) is
+                    # archived as f32 — the upcast is exact and .npz has
+                    # no bf16 descr; restore() casts back bit-exactly
+                    arr = arr.astype(np.float32)
+                arrays[f"olds_{i}"] = arr
             arrays["n_olds_vars"] = np.asarray(len(state["olds"]))
         if "comp" in state:
             for i, c in enumerate(state["comp"]):
@@ -149,8 +154,14 @@ class CheckpointManager:
             new["key"] = jnp.asarray(z["key"], new["key"].dtype)
         if "olds" in state and "n_olds_vars" in z:
             n = int(z["n_olds_vars"])
+
+            def _odt(i):
+                # match the live state's history precision (bf16 when
+                # X3D2_BF16_OLDS — archived f32, cast back is exact)
+                o = state["olds"][i] if i < len(state["olds"]) else ()
+                return o[0].dtype if len(o) else dtype
             new["olds"] = tuple(
-                tuple(jnp.asarray(z[f"olds_{i}"][j], dtype)
+                tuple(jnp.asarray(z[f"olds_{i}"][j], _odt(i))
                       for j in range(z[f"olds_{i}"].shape[0]))
                 for i in range(n))
         if "comp" in state:

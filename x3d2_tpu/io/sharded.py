@@ -94,6 +94,11 @@ def write_sharded(prefix, timestep, state, time, dt, stats=None,
             jax.tree_util.tree_leaves(arr)[0]).dtype
             if not hasattr(arr, "dtype") else arr.dtype))
         for idx, data in _addressable_chunks(arr):
+            if data.dtype.kind not in "fiub":
+                # non-native dtypes (bf16 olds, X3D2_BF16_OLDS) degrade
+                # to void in .npz — archive as f32 (exact upcast); the
+                # dtype:: meta keeps the original and restore casts back
+                data = data.astype(np.float32)
             chunks[_chunk_key(name, idx)] = data
 
     shard_path = f"{prefix}_{timestep:06d}.shards{pid:04d}.npz"
@@ -235,9 +240,13 @@ def restore_sharded(manifest_path, state, dtype=None):
             js = sorted(int(nm.split("_")[2]) for nm in reader.names()
                         if nm.startswith(f"olds_{i}_"))
             tmpl = state["olds"][i]
+
+            def _tp(j, tmpl=tmpl):
+                return tmpl[j if j < len(tmpl) else -1]
+            # history restores at the LIVE state's precision (bf16 when
+            # X3D2_BF16_OLDS; the archive holds exact f32 upcasts)
             olds.append(tuple(
-                _place(reader, f"olds_{i}_{j}",
-                       tmpl[j if j < len(tmpl) else -1], dtype)
+                _place(reader, f"olds_{i}_{j}", _tp(j), _tp(j).dtype)
                 for j in js))
         new["olds"] = tuple(olds)
     if "comp" in state:

@@ -309,7 +309,11 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
             base_c = bases[c][...] if base_sep else mids[c]
             unew = base_c + co_ref[0, 0] * r
             for j in range(ab_olds):
-                unew = unew + co_ref[0, 1 + j] * olds[3 * j + c][...]
+                # history may be stored bf16 (X3D2_BF16_OLDS): upcast
+                # before the coefficient multiply so the combination
+                # runs at state precision
+                unew = unew + co_ref[0, 1 + j] * \
+                    olds[3 * j + c][...].astype(r.dtype)
             outs[c][...] = unew.astype(outs[c].dtype)
             if xdiv:
                 # K-blocked partial transform of this u' block into the
@@ -435,7 +439,8 @@ def _sweep_scaffold(axis, shape, free, n, nb, bs, w, lane, nstream,
 def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
                         terms=2, ab_olds=0, n_shards=1, ab_alias=True,
-                        xdiv_mats=None, upd=None, base_sep=False):
+                        xdiv_mats=None, upd=None, base_sep=False,
+                        olds_dtype=None):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
 
     Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
@@ -540,12 +545,19 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         # the OLDEST history buffers (dropped by the rotation) onto the
         # updated velocities — the fused step then adds no peak HBM over
         # its inputs (blocks share the output index map, so in-place is
-        # race-free like any elementwise aliasing)
-        aliases = {0: 3, 1: 4, 2: 5}
+        # race-free like any elementwise aliasing). With a reduced
+        # olds_dtype the pairing flips to keep dtypes matched:
+        # acc(f32)->u'(f32), oldest-old(bf16)->rhs(bf16).
+        reduced = olds_dtype is not None
+        if reduced:
+            aliases = {0: 0, 1: 1, 2: 2}
+        else:
+            aliases = {0: 3, 1: 4, 2: 5}
         if ab_alias and ab_olds:
             first_old = 3 + 3 * nstream
             for c in range(3):
-                aliases[first_old + 3 * (ab_olds - 1) + c] = c
+                aliases[first_old + 3 * (ab_olds - 1) + c] = \
+                    (3 + c) if reduced else c
     elif accumulate:
         aliases = {c: c for c in range(3)}
     else:
@@ -576,6 +588,11 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         if upd:
             args += [jnp.reshape(dtc, (1, -1)).astype(u.dtype)]
         out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * n_out
+        if upd and olds_dtype is not None:
+            # the rhs outputs ARE the next step's olds[0]: store them at
+            # the history precision so the 3 writes (and next step's 3
+            # reads per history slot) move half the bytes
+            out_shape[3:6] = [jax.ShapeDtypeStruct(shape, olds_dtype)] * 3
         # xdiv: b-revisited full-extent div output blocks (written once)
         out_specs = [out_spec] * min(n_out_mom, 6) \
             + [pl.BlockSpec(blk_of(n), map_of(lambda b: 0),
@@ -789,7 +806,7 @@ def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
 
 def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
                              interpret=False, terms=2, xdiv=None,
-                             skip_d2=False):
+                             skip_d2=False, olds_dtype=None):
     """Transeq + Adams-Bashforth update in one fused chain:
     fn(u, v, w, olds, dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)).
 
@@ -825,7 +842,8 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
         d0x = make_transeq_dir_v3(solver_ops[0], nu, 0, shape,
                                   terms=terms, accumulate=True,
                                   ab_olds=nolds, interpret=interpret,
-                                  xdiv_mats=xdiv, **cfgs.get(0, {}))
+                                  xdiv_mats=xdiv, olds_dtype=olds_dtype,
+                                  **cfgs.get(0, {}))
         d1p = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
                           cfgs.get(1, {}), accumulate=True)
 
@@ -839,7 +857,8 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
                      cfgs.get(0, {}), accumulate=True)
     d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
                              accumulate=True, ab_olds=nolds,
-                             interpret=interpret, **cfgs.get(1, {}))
+                             interpret=interpret, olds_dtype=olds_dtype,
+                             **cfgs.get(1, {}))
 
     if skip_d2:
         def fns(u, v, w, olds, dtc, acc0):

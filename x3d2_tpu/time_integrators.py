@@ -102,7 +102,9 @@ class TimeIntegrator:
         def upd(f, r, o, c):
             inc = dt * coeffs[0] * r
             for j in range(order - 1):
-                inc = inc + dt * coeffs[j + 1] * o[j]
+                # olds may be stored reduced-precision (X3D2_BF16_OLDS);
+                # the combination always runs at state precision
+                inc = inc + dt * coeffs[j + 1] * o[j].astype(f.dtype)
             return kahan_add(f, inc, c)
 
         pairs = [upd(f, r, o, c)
@@ -112,7 +114,8 @@ class TimeIntegrator:
         if self.nolds == 0:
             new_olds = olds
         else:
-            new_olds = tuple((r,) + o[:-1] for r, o in zip(rhs, olds))
+            new_olds = tuple((r.astype(o[0].dtype),) + o[:-1]
+                             for r, o in zip(rhs, olds))
         return new_fields, new_olds, new_comp
 
     def ab_step(self, fields, olds, istep, rhs, dt):
@@ -135,7 +138,7 @@ class TimeIntegrator:
         def upd(f, r, o):
             acc = f + dt * coeffs[0] * r
             for j in range(order - 1):
-                acc = acc + dt * coeffs[j + 1] * o[j]
+                acc = acc + dt * coeffs[j + 1] * o[j].astype(f.dtype)
             return acc
 
         new_fields = tuple(upd(f, r, o)
@@ -143,7 +146,8 @@ class TimeIntegrator:
         if self.nolds == 0:
             new_olds = olds
         else:
-            new_olds = tuple((r,) + o[:-1] for r, o in zip(rhs, olds))
+            new_olds = tuple((r.astype(o[0].dtype),) + o[:-1]
+                             for r, o in zip(rhs, olds))
         return new_fields, new_olds
 
     def rk_substage(self, fields0, ks, istage, dt):
@@ -164,8 +168,11 @@ class TimeIntegrator:
 
         return jax.tree_util.tree_map(upd, fields0, *ks)
 
-    def empty_olds(self, template):
+    def empty_olds(self, template, dtype=None):
         """Zero-initialised history: per field, a (nolds,)-tuple of
-        arrays (kept as separate buffers so rotation is alias-only)."""
-        return tuple(tuple(jnp.zeros(f.shape, f.dtype)
+        arrays (kept as separate buffers so rotation is alias-only).
+        `dtype` overrides the storage precision (X3D2_BF16_OLDS stores
+        the AB history in bfloat16 — it only ever enters the update
+        scaled by dt*c_j, so its rounding is ~4e-3 of an O(dt) term)."""
+        return tuple(tuple(jnp.zeros(f.shape, dtype or f.dtype)
                            for _ in range(self.nolds)) for f in template)
