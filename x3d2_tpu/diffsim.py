@@ -21,27 +21,114 @@ backward pass recomputes each step's internals from its input state —
 peak memory O(n_steps) state copies -> O(1) plus one recompute per step
 (the standard checkpoint/rematerialisation trade).
 
-Path note: the differentiable path is the pure-XLA (einsum/FFT) solver;
-the hand-written Pallas kernels carry no VJP rules. On CPU that path is
-automatic; on TPU export ``X3D2_PALLAS=0`` before building the case to
-take gradients (solver.py:99-106).
+Path note: the hand-written Pallas kernels carry no VJP rules of their
+own, but they compute the *same discrete operators* as the pure-XLA
+einsum path (interpret-mode equality is tested throughout tests/). So
+the production (kernel) step is made differentiable by a
+``jax.custom_vjp`` whose backward is the exact vjp of the einsum-path
+step at the same input state (:func:`differentiable_step`): primal =
+fast Pallas forward, adjoint = exact discrete adjoint of the scheme.
+:func:`rollout` applies this automatically whenever the case runs the
+kernel path — ``X3D2_PALLAS=1`` gradients now work out of the box.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 
+def _kernels_active(case) -> bool:
+    """True when the case's step dispatches any Pallas fast path."""
+    s = case.solver
+    return (getattr(case, "_fused_ab", None) is not None
+            or getattr(case, "_fused_rk", None) is not None
+            or getattr(s, "_transeq_v3", None) is not None
+            or getattr(s, "_pallas_transeq", None) is not None
+            or getattr(s, "_species_v3", None) is not None
+            or getattr(s, "_slab_pressure", None) is not None
+            or getattr(s, "_pipe_pressure", None) is not None)
+
+
+def make_einsum_twin(case):
+    """Rebuild ``case`` with every Pallas fast path disabled.
+
+    The twin computes the identical discrete step through the pure-XLA
+    einsum/FFT operators (the semantic definition the kernels are
+    equality-tested against), so its jax.vjp is the exact discrete
+    adjoint of the scheme. Construction-time env flags other than
+    X3D2_PALLAS are inherited, keeping the two states structurally
+    identical (same keys/dtypes)."""
+    old = os.environ.get("X3D2_PALLAS")
+    os.environ["X3D2_PALLAS"] = "0"
+    try:
+        kw = dict(dtype=case.dtype, monitor_path=None, verbose=False,
+                  seed=case.seed, case_cfg=case.case_cfg,
+                  keep_pressure=case.keep_pressure)
+        twin = type(case)(case.mesh, case.params, **kw)
+    finally:
+        if old is None:
+            os.environ.pop("X3D2_PALLAS", None)
+        else:
+            os.environ["X3D2_PALLAS"] = old
+    return twin
+
+
+def differentiable_step(case, einsum_case=None):
+    """The case's step with production forward + exact einsum adjoint.
+
+    When the case runs Pallas kernels, returns a ``jax.custom_vjp``
+    wrapper: the primal evaluates ``case.step_fn`` (the fast kernel
+    chain), and the backward evaluates the vjp of the einsum-path step
+    at the same input state. Because both paths implement the same
+    discrete operators (to rounding), this is the exact adjoint of the
+    scheme while keeping the forward pass at production speed — the
+    reference has no adjoint capability at all (an adjoint of
+    base_case.f90's imperative loop would be a second hand-written
+    solver).
+
+    Limitations: the d2-in-C carry (X3D2_D2C=1) changes the state
+    structure and is not supported here (it is an opt-in experiment,
+    default off)."""
+    if not _kernels_active(case):
+        return case.step_fn
+    if getattr(case, "_pipe_d2c", None) is not None:
+        raise NotImplementedError(
+            "differentiable_step does not support the X3D2_D2C carry")
+    cached = getattr(case, "_diff_step", None)
+    if cached is not None:
+        return cached
+    estep = (einsum_case or make_einsum_twin(case)).step_fn
+    kstep = case.step_fn
+
+    @jax.custom_vjp
+    def step(s):
+        return kstep(s)
+
+    def fwd(s):
+        return kstep(s), s
+
+    def bwd(s, ct):
+        _, vjpf = jax.vjp(estep, s)
+        return vjpf(ct)
+
+    step.defvjp(fwd, bwd)
+    case._diff_step = step
+    return step
+
+
 def rollout(case, state, n_steps: int, remat: bool = True):
     """Advance ``state`` by ``n_steps`` full time steps (one jittable
-    program; differentiable end to end).
+    program; differentiable end to end — including on the production
+    Pallas path, via :func:`differentiable_step`).
 
     ``remat=True`` rematerialises each step in the backward pass so
     reverse-mode memory stays at one state pytree per step boundary
     instead of every intermediate of every step.
     """
-    step = case.step_fn
+    step = differentiable_step(case)
     if remat:
         step = jax.checkpoint(step)
 
