@@ -239,8 +239,12 @@ def main():
                 # (closures would embed them as n^3 program constants —
                 # the relay wedge gotcha)
                 olds = tuple(state["olds"][:3])
-                dtc = jnp.asarray([case.dt, 0.0, 0.0, 0.0],
-                                  case.dtype)
+                row = [case.dt, 0.0, 0.0, 0.0]
+                if case._olds_dtype is not None:
+                    # reduced-history kernels take a 5th column (the
+                    # error-feedback coefficient dt*future_coeff_sum)
+                    row.append(case.dt * case.ti.future_coeff_sum())
+                dtc = jnp.asarray(row, case.dtype)
 
                 def tr(a, b, c, olds_, dtc_):
                     return fa(a, b, c, olds_, dtc_)[0]

@@ -106,9 +106,13 @@ class BaseCase:
         # (round-5 pass-count lever): the AB3 olds are 6 full-field
         # reads + 3 writes of the ~53-pass step, and history only ever
         # enters the update scaled by dt*c_j, so halving its bytes
-        # saves ~4.5 passes for a ~4e-3 relative rounding on an O(dt)
-        # term. Applies to both the fused-kernel and XLA AB paths;
-        # KE-parity impact measured via tools/ke_parity.py (README).
+        # saves ~4.5 passes (512^3: 62.8 -> 54.3 ms/step). Opt-in SPEED
+        # mode, default off: measured full-trajectory KE parity is
+        # 4.9e-5 even under HIGHEST+Kahan+error-feedback (README table)
+        # — turbulent-stage quantization noise decorrelates step to
+        # step and random-walks, so only the smooth-regime/systematic
+        # component is recoverable (the feedback recovers it exactly).
+        # Applies to both the fused-kernel and XLA AB paths.
         self._olds_dtype = (jnp.bfloat16 if (
             _os.environ.get("X3D2_BF16_OLDS", "0") == "1"
             and self.ti.kind == "AB" and self.ti.nolds >= 1) else None)
@@ -391,6 +395,14 @@ class BaseCase:
             from ..time_integrators import AB_COEFFS
             nstep = jnp.minimum(istep, self.ti.order)
             dtc = dt * jnp.asarray(AB_COEFFS, self.dtype)[nstep - 1]
+            if self._olds_dtype is not None:
+                # col 4: error-feedback coefficient for the reduced
+                # (bf16) history storage — dt * sum of the steady
+                # coefficients that will multiply this step's rhs in
+                # future updates (time_integrators.future_coeff_sum)
+                dtc = jnp.concatenate(
+                    [dtc, jnp.full((1,), dt * self.ti.future_coeff_sum(),
+                                   self.dtype)])
             if "rhsp" in state:
                 # d2-in-C carry: chain starts at d0 with the partials
                 # the previous projection's kernel C emitted; the
@@ -427,9 +439,15 @@ class BaseCase:
                 phi = fields[3] + dtc[0] * prhs
                 for j, ph in enumerate(phi_olds):
                     phi = phi + dtc[1 + j] * ph
-                fields = mom + (phi,)
                 if self._olds_dtype is not None:
-                    prhs = prhs.astype(self._olds_dtype)
+                    # reduced-history error feedback for the species AB
+                    # update (same correction the momentum kernel
+                    # applies via dtc col 4)
+                    prhs_b = prhs.astype(self._olds_dtype)
+                    phi = phi + dtc[4] * (
+                        prhs - prhs_b.astype(phi.dtype))
+                    prhs = prhs_b
+                fields = mom + (phi,)
                 olds = olds + ((prhs,) + phi_olds[:-1],)
             else:
                 fields = mom

@@ -305,7 +305,8 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
             # fused time update: u' = base + dt*c0*rhs
             # + sum_j dt*c_{j+1}*old_j (ab_step / rk_substage); rhs
             # written as the new olds[0] / stage derivative
-            outs[3 + c][...] = r.astype(outs[3 + c].dtype)
+            rstore = r.astype(outs[3 + c].dtype)
+            outs[3 + c][...] = rstore
             base_c = bases[c][...] if base_sep else mids[c]
             unew = base_c + co_ref[0, 0] * r
             for j in range(ab_olds):
@@ -314,6 +315,14 @@ def _transeq_kernel_v3(*refs, axis, nu, w, bs, nstream, accumulate,
                 # runs at state precision
                 unew = unew + co_ref[0, 1 + j] * \
                     olds[3 * j + c][...].astype(r.dtype)
+            if outs[3 + c].dtype != r.dtype:
+                # reduced-history error feedback: the rhs stored above
+                # re-enters the next ab_olds updates with the steady
+                # coefficients; co_ref[0,4] = dt*sum(c_1..c_k) pre-pays
+                # that rounding now, while r is exact in registers
+                # (time_integrators.future_coeff_sum) — restores KE
+                # parity at zero extra HBM traffic
+                unew = unew + co_ref[0, 4] * (r - rstore.astype(r.dtype))
             outs[c][...] = unew.astype(outs[c].dtype)
             if xdiv:
                 # K-blocked partial transform of this u' block into the
@@ -539,7 +548,11 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                                             memory_space=pltpu.SMEM)]
     n_out = n_out_mom = (9 if xdiv else 6) if upd else 3
     if upd:
-        in_specs = in_specs + [pl.BlockSpec((1, 4), lambda i, j, b: (0, 0),
+        # col 4 (present only with reduced history) carries the
+        # error-feedback coefficient dt*future_coeff_sum
+        _ncol = 5 if olds_dtype is not None else 4
+        in_specs = in_specs + [pl.BlockSpec((1, _ncol),
+                                            lambda i, j, b: (0, 0),
                                             memory_space=pltpu.SMEM)]
         # the accumulated partial rhs aliases onto the rhs outputs, and
         # the OLDEST history buffers (dropped by the rotation) onto the
@@ -586,7 +599,13 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         if halo_ext:
             args += [jnp.reshape(off, (1,)).astype(jnp.int32)]
         if upd:
-            args += [jnp.reshape(dtc, (1, -1)).astype(u.dtype)]
+            row = jnp.reshape(dtc, (1, -1)).astype(u.dtype)
+            if olds_dtype is not None and row.shape[1] != 5:
+                raise ValueError(
+                    "reduced-history sweeps need a 5-column dtc row "
+                    "(cols 0..3 AB coefficients, col 4 = dt*"
+                    "future_coeff_sum error-feedback)")
+            args += [row]
         out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * n_out
         if upd and olds_dtype is not None:
             # the rhs outputs ARE the next step's olds[0]: store them at

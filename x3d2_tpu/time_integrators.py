@@ -105,6 +105,16 @@ class TimeIntegrator:
                 # olds may be stored reduced-precision (X3D2_BF16_OLDS);
                 # the combination always runs at state precision
                 inc = inc + dt * coeffs[j + 1] * o[j].astype(f.dtype)
+            if o and o[0].dtype != f.dtype:
+                # reduced-precision history storage: PRE-PAY the future
+                # rounding while r is exact in registers. The rhs stored
+                # now re-enters the next (order-1) updates with the
+                # steady coefficients c_1..c_{k-1}; adding
+                # dt*sum(c_j)*(r - round(r)) here cancels that secular
+                # bias exactly (the residual is the O(dt) time shift of
+                # a tiny term), for zero extra HBM traffic.
+                rb = r.astype(o[0].dtype).astype(f.dtype)
+                inc = inc + (dt * self.future_coeff_sum()) * (r - rb)
             return kahan_add(f, inc, c)
 
         pairs = [upd(f, r, o, c)
@@ -117,6 +127,13 @@ class TimeIntegrator:
             new_olds = tuple((r.astype(o[0].dtype),) + o[:-1]
                              for r, o in zip(rhs, olds))
         return new_fields, new_olds, new_comp
+
+    def future_coeff_sum(self) -> float:
+        """Sum of the steady-state AB coefficients that will multiply a
+        derivative stored THIS step in future updates (c_1..c_{order-1};
+        AB3: -16/12 + 5/12 = -11/12). Used by the reduced-precision
+        history error feedback."""
+        return float(AB_COEFFS[self.order - 1][1:self.order].sum())
 
     def ab_step(self, fields, olds, istep, rhs, dt):
         """One AB step. `fields`/`rhs` are tuples of arrays; `olds` is a
@@ -139,6 +156,12 @@ class TimeIntegrator:
             acc = f + dt * coeffs[0] * r
             for j in range(order - 1):
                 acc = acc + dt * coeffs[j + 1] * o[j].astype(f.dtype)
+            if o and o[0].dtype != f.dtype:
+                # reduced-history error feedback (see
+                # ab_step_compensated): pre-pay the stored rhs's future
+                # rounding now, while r is exact
+                rb = r.astype(o[0].dtype).astype(f.dtype)
+                acc = acc + (dt * self.future_coeff_sum()) * (r - rb)
             return acc
 
         new_fields = tuple(upd(f, r, o)
