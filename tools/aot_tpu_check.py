@@ -12,7 +12,14 @@ SURVEY.md §4; this additionally exercises the real TPU compiler).
 
 Prints a collective census and PASS/FAIL. Usage:
 
-    python tools/aot_tpu_check.py [topology] [nx ny nz]   # v5e:2x4 default
+    python tools/aot_tpu_check.py [topology] [nx ny nz] [mesh=PXxPYxPZ]
+
+The default mesh keeps x whole ((y,z) factoring). mesh=2x2x2 AOT-checks
+the x-DECOMPOSED configuration (reference nproc_dir(1)>1, which its
+Poisson rejects, poisson_fft.f90:131): every Pallas fast path gates off
+and the step runs band-truncated ppermute halo applies along all three
+axes + the GSPMD spectral projection — the census characterizes that
+kernel-less program (VERDICT r4 weak #7).
 """
 
 import os
@@ -36,13 +43,20 @@ from jax.experimental import topologies
 topo_name = sys.argv[1] if len(sys.argv) > 1 else "v5e:2x4"
 dims = (tuple(int(a) for a in sys.argv[2:5]) if len(sys.argv) > 4
         else (128, 256, 512))
+mesh_arg = next((a for a in sys.argv[1:] if a.startswith("mesh=")), None)
 
 topo = topologies.get_topology_desc(topology_name=topo_name, platform="tpu")
 devs = list(topo.devices)
-ny = int(np.sqrt(len(devs)))
-while len(devs) % ny:
-    ny -= 1
-nz = len(devs) // ny
+if mesh_arg:
+    nx, ny, nz = (int(a) for a in mesh_arg[len("mesh="):].split("x"))
+    assert nx * ny * nz == len(devs), \
+        f"mesh {mesh_arg} != {len(devs)} devices"
+else:
+    nx = 1
+    ny = int(np.sqrt(len(devs)))
+    while len(devs) % ny:
+        ny -= 1
+    nz = len(devs) // ny
 
 from x3d2_tpu.common import BC
 from x3d2_tpu.mesh import Mesh
@@ -56,7 +70,7 @@ params = SolverParams(Re=1600.0, time_intg="AB3", dt=1e-3,
                       n_species=1, pr_species=(0.7,))
 case = TGVCase(mesh, params, dtype=jnp.float32, monitor_path=None,
                verbose=False, keep_pressure=False)
-dmesh = make_device_mesh(ny, nz, devs)
+dmesh = make_device_mesh(ny, nz, devs, nproc_x=nx)
 
 state = None
 if int(np.prod(dims)) > 512 ** 3 // 2:
@@ -75,10 +89,19 @@ if int(np.prod(dims)) > 512 ** 3 // 2:
             x.shape[:-3] + dims if x.ndim >= 3 else x.shape, x.dtype),
         small.initial_state())
 
-assert sharded_transeq_v3_supported(case.solver, dmesh), \
-    "v3 transeq kernels inactive at this size -- pick a kernel-active grid"
-repencil = repencil_supported(case.solver, dmesh)
-if not repencil:
+xdecomp = nx > 1
+if xdecomp:
+    # x-decomposition: every single-axis kernel fast path gates off by
+    # design (the sweeps/slab kernels need full x lines); the step under
+    # check is the band-truncated halo-apply + GSPMD-spectral program
+    print("note: x-decomposed mesh — Pallas fast paths inactive; "
+          "characterizing the kernel-less halo/GSPMD program")
+    repencil = False
+else:
+    assert sharded_transeq_v3_supported(case.solver, dmesh), \
+        "v3 transeq kernels inactive at this size -- pick a kernel-active grid"
+    repencil = repencil_supported(case.solver, dmesh)
+if not repencil and not xdecomp:
     # structurally unsupported mesh (tiling/divisibility gates): the
     # projection runs on the GSPMD spectral path -- still a valid
     # multi-chip program, just without the repencilled kernel stack.
@@ -87,7 +110,7 @@ if not repencil:
 
 step, sds = make_sharded_step(case, dmesh, state=state, aot=True)
 print(f"lowering full sharded step: {dims} grid on {topo_name} "
-      f"({ny}x{nz} mesh) ...", flush=True)
+      f"({nx}x{ny}x{nz} mesh) ...", flush=True)
 compiled = step.lower(sds).compile()
 txt = compiled.as_text()
 
@@ -100,10 +123,16 @@ print(f"collective census: {census}; mosaic kernels: {n_mosaic}")
 # base criteria at every size: kernels active, halo ppermutes present,
 # and no GSPMD gather/scatter fallbacks regressing into the transeq/halo
 # path; all-to-all > 0 only applies when the repencilled projection is on
-ok = (census["collective-permute"] > 0 and n_mosaic > 0
-      and census["all-gather"] == 0 and census["reduce-scatter"] == 0)
-if repencil:
-    ok = ok and census["all-to-all"] > 0
+if xdecomp:
+    # kernel-less by design: require the halo ppermutes and a compiled
+    # program; the spectral path may lawfully use GSPMD gather/transpose
+    # collectives here (recorded in the census for the scaling model)
+    ok = census["collective-permute"] > 0
+else:
+    ok = (census["collective-permute"] > 0 and n_mosaic > 0
+          and census["all-gather"] == 0 and census["reduce-scatter"] == 0)
+    if repencil:
+        ok = ok and census["all-to-all"] > 0
 print(("PASS" if ok else "FAIL")
       + ": full sharded step AOT-compiled for a deviceless TPU topology")
 sys.exit(0 if ok else 1)
