@@ -286,6 +286,42 @@ def main():
         except Exception as e:  # phases are informational only
             result["phases_error"] = f"{type(e).__name__}: {e}"[:120]
 
+    if os.environ.get("BENCH_SPEEDMODE", "1") != "0":
+        # bf16-history SPEED mode (X3D2_BF16_OLDS=1, round 5): ~1e-4
+        # pointwise accuracy class over 14k steps (README), so it is
+        # NOT the headline — reported as its own row. Same process (a
+        # second relay client would deadlock — CLAUDE.md); the default
+        # case's buffers are dropped first so both 512^3 states never
+        # coexist in HBM.
+        try:
+            import gc
+            del state, case
+            # drop every reference to the default case's device buffers
+            # (assignment, not del: some only exist when phases ran)
+            u = v = w = divs = probe = olds = None
+            tr_extra = pr_extra = dtc = st = None
+            gc.collect()
+            os.environ["X3D2_BF16_OLDS"] = "1"
+            scase = TGVCase(mesh, params, dtype=jnp.float32,
+                            monitor_path=None, verbose=False,
+                            keep_pressure=False)
+            sstate = scase.initial_state()
+            sstate = scase._chunk(sstate, n_iters)
+            jax.block_until_ready(sstate["u"])
+            t0 = time.perf_counter()
+            sstate = scase._chunk(sstate, n_iters)
+            jax.block_until_ready(sstate["u"])
+            ms_sp = (time.perf_counter() - t0) / n_iters * 1e3
+            assert bool(jnp.isfinite(sstate["u"]).all())
+            result["ms_bf16_olds"] = round(ms_sp, 3)
+            result["speed_mode"] = ("X3D2_BF16_OLDS=1: bf16 AB history "
+                                    "+ error feedback (~1e-4 pointwise "
+                                    "class; README accuracy table)")
+        except Exception as e:
+            result["speedmode_error"] = f"{type(e).__name__}: {e}"[:120]
+        finally:
+            os.environ.pop("X3D2_BF16_OLDS", None)
+
     print(json.dumps(result))
 
 
