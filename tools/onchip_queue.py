@@ -1,20 +1,34 @@
 #!/usr/bin/env python
 """Run the pending on-chip measurement queue (CLAUDE.md) in one shot.
 
-The device relay has been down for much of round 3; this script exists
-so that the moment it returns, a single command captures every queued
-measurement in priority order, each in its OWN subprocess (the relay
-deadlocks with two concurrent TPU clients, and a wedged job must not
-take the rest of the queue down with it).
+The device relay has repeatedly wedged mid-round (round 3: down for
+hours; round 5: silent pre-compile wedges when a client dials during
+another's asynchronous server-side teardown). This script exists so
+that a single command captures every queued measurement in priority
+order, each in its OWN subprocess (the relay deadlocks with two
+concurrent TPU clients, and a wedged job must not take the rest of the
+queue down with it), with the hard-won client hygiene applied:
+
+  - >=90 s between one client exiting (incl. killed/timed-out jobs and
+    probe subprocesses) and the next dialing — server-side session
+    teardown is asynchronous and a client that dials during it wedges
+    SILENTLY (no step output, ~0 CPU growth, forever).
+  - a stall detector: if a job's log stops growing for --stall seconds
+    (default 420 — healthy jobs here print within ~3-4 min even
+    through a 512^3 remote compile), the job is killed as wedged
+    instead of burning its full timeout.
+  - probes are real clients too: --wait polls sparingly (every 6 min,
+    120 s budget) rather than hammering the relay with doomed dials.
 
 Order (most important first — the relay may die again mid-queue):
-  1. bench.py                      — the headline number
-  2. tools/prof_species.py         — species kernels execute + time
-  3. tools/prof512.py (DIMSEM A/B) — parallel dimension_semantics
-  4. tools/prof_dma.py 512         — the ~260 GB/s Pallas pipeline ladder
-  5. tools/prof_manual.py          — manual-DMA x-apply A/B
+  1. channel_fine — 192x129x96 grid-refinement channel run (VERDICT r4
+     weak #5: show the Re_tau gap is resolution, not numerics)
+  2. bench        — the headline number + the bf16-olds speed-mode row
+  3. d2c_bf16     — X3D2_D2C=1 stacked on the bf16 history (the d2-in-C
+     carry was a wash at the 62.8 f32-history state; the bf16 chain is
+     faster so the 3 saved reads are a larger fraction)
 
-Usage: python tools/onchip_queue.py [--skip N,N,...]
+Usage: python tools/onchip_queue.py [--skip N,N,...] [--wait] [--stall S]
 Logs to validation/onchip_queue_<jobname>.log; prints a PASS/FAIL table.
 """
 
@@ -25,24 +39,32 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# (name, cmd, timeout_s, env, stall_s) — stall_s None disables the
+# stall detector (bench.py prints its ONE JSON line only at the end,
+# so log growth says nothing about its health).
 JOBS = [
-    ("bench", [sys.executable, "bench.py"], 2400, {}),
-    ("prof_pressure", [sys.executable, "tools/prof_pressure.py",
-                       "512", "20"], 1800, {}),
-    ("prof_rk", [sys.executable, "tools/prof_rk.py", "256", "30"],
-     2000, {}),
-    ("prof_species", [sys.executable, "tools/prof_species.py"], 1800, {}),
-    ("prof512_dimsem0", [sys.executable, "tools/prof512.py", "512", "20"],
-     2400, {"X3D2_DIMSEM": "0"}),
-    ("shardmap", [sys.executable, "tools/onchip_shardmap.py"], 1800, {}),
+    ("channel_fine", [sys.executable, "tools/validate_channel.py",
+                      "80000", "10", "--grid", "192", "129", "96",
+                      "--dt", "2.5e-3", "--tag", "_192x129x96"],
+     3600, {}, 420),
+    ("bench", [sys.executable, "bench.py"], 2400, {}, None),
+    ("d2c_bf16", [sys.executable, "bench.py"], 1800,
+     {"X3D2_D2C": "1", "X3D2_BF16_OLDS": "1", "BENCH_CASES": "0",
+      "BENCH_PHASES": "0", "BENCH_SPEEDMODE": "0"}, None),
 ]
 
+TEARDOWN_S = 90  # min gap between any client exit and the next dial
 
-def probe_relay(timeout=60):
-    """True when a jax backend init completes (relay up)."""
+
+def probe_relay(timeout=120):
+    """True when a trivial on-chip op completes (relay healthy, not
+    just reachable). DEVNULL, not pipes: the relay client forks
+    helpers that inherit pipes and the post-kill drain blocks."""
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.ones((128,128)))))"],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             timeout=timeout, cwd=ROOT)
         return r.returncode == 0
@@ -50,42 +72,74 @@ def probe_relay(timeout=60):
         return False
 
 
+def run_job(cmd, log, env, tmo, stall_s):
+    """Run one client; kill it early if its log freezes (silent wedge).
+    Returns (status, wall_s)."""
+    t0 = time.time()
+    with open(log, "w") as fh:
+        p = subprocess.Popen(cmd, cwd=ROOT, env=env, stdout=fh,
+                             stderr=subprocess.STDOUT)
+        last_size, last_change = -1, time.time()
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                return ("PASS" if rc == 0 else f"rc={rc}",
+                        time.time() - t0)
+            now = time.time()
+            if now - t0 > tmo:
+                p.kill()
+                p.wait()
+                return "TIMEOUT", now - t0
+            try:
+                size = os.path.getsize(log)
+            except OSError:
+                size = -1
+            if size != last_size:
+                last_size, last_change = size, now
+            elif stall_s is not None and now - last_change > stall_s:
+                p.kill()
+                p.wait()
+                return "WEDGED", now - t0
+            time.sleep(5)
+
+
 def main():
     skip = set()
     if "--skip" in sys.argv:
         skip = {int(x) for x in
                 sys.argv[sys.argv.index("--skip") + 1].split(",")}
-    if not probe_relay():
-        print("RELAY DOWN: backend init did not complete; aborting")
-        return 2
-    print("relay up; running queue")
+    stall_s = (int(sys.argv[sys.argv.index("--stall") + 1])
+               if "--stall" in sys.argv else 420)
+    wait = "--wait" in sys.argv
+    while not probe_relay():
+        if not wait:
+            print("RELAY DOWN/WEDGED: trivial on-chip op did not "
+                  "complete; aborting (use --wait to poll)")
+            return 2
+        print(f"[{time.strftime('%H:%M:%S')}] relay not healthy; "
+              "retrying in 6 min", flush=True)
+        time.sleep(360)
+    print("relay up; running queue after teardown gap", flush=True)
+    time.sleep(TEARDOWN_S)  # the probe itself was a client
     os.makedirs(os.path.join(ROOT, "validation"), exist_ok=True)
     results = []
-    for idx, (name, cmd, tmo, env_extra) in enumerate(JOBS, 1):
+    for idx, (name, cmd, tmo, env_extra, job_stall) in enumerate(JOBS, 1):
         if idx in skip:
             results.append((name, "SKIPPED", 0.0))
             continue
         log = os.path.join(ROOT, "validation",
                            f"onchip_queue_{name}.log")
         env = dict(os.environ, **env_extra)
-        t0 = time.time()
-        try:
-            with open(log, "w") as fh:
-                r = subprocess.run(cmd, cwd=ROOT, env=env, timeout=tmo,
-                                   stdout=fh, stderr=subprocess.STDOUT)
-            status = "PASS" if r.returncode == 0 else f"rc={r.returncode}"
-        except subprocess.TimeoutExpired:
-            status = "TIMEOUT"
-        dt = time.time() - t0
+        status, dt = run_job(cmd, log, env, tmo,
+                             job_stall if job_stall is None else stall_s)
         results.append((name, status, dt))
         print(f"[{idx}/{len(JOBS)}] {name:18s} {status:8s} {dt:7.1f}s "
               f"-> {os.path.relpath(log, ROOT)}", flush=True)
-        if status == "TIMEOUT" and not probe_relay():
-            print("relay died mid-queue; stopping")
+        time.sleep(TEARDOWN_S)  # teardown gap after EVERY client
+        if status in ("TIMEOUT", "WEDGED") and not probe_relay():
+            print("relay died mid-queue; stopping", flush=True)
+            time.sleep(TEARDOWN_S)
             break
-        # a timed-out TPU client may leave the relay wedged briefly
-        if status != "PASS":
-            time.sleep(10)
     print("\nsummary:")
     for name, status, dt in results:
         print(f"  {name:18s} {status:8s} {dt:7.1f}s")
