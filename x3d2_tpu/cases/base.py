@@ -116,6 +116,17 @@ class BaseCase:
         self._olds_dtype = (jnp.bfloat16 if (
             _os.environ.get("X3D2_BF16_OLDS", "0") == "1"
             and self.ti.kind == "AB" and self.ti.nolds >= 1) else None)
+        # X3D2_BF16_ACC=1 additionally stores the transeq
+        # cross-direction rhs PARTIAL streams in bfloat16 (round-5
+        # second pass-count lever): the d2->d0->d1 accumulator moves 12
+        # full-field passes (3 writes + 3+3 read/write + 3 reads), and
+        # like the history the partials only enter the update scaled by
+        # dt*c_j. Same ~1e-4-class speed-mode accuracy budget as the
+        # bf16 history; kernel (fused-AB) path only — the XLA path's
+        # partials are fusion-resident and move no HBM to save.
+        self._acc_dtype = (jnp.bfloat16 if (
+            _os.environ.get("X3D2_BF16_ACC", "0") == "1"
+            and self.ti.kind == "AB" and self.ti.nolds >= 1) else None)
         self._fused_ab = None
         if (_os.environ.get("X3D2_FUSED_AB", "1") != "0"
                 and self.ti.kind == "AB" and self.ti.nolds >= 1
@@ -149,7 +160,8 @@ class BaseCase:
                         self.solver.ops, self.solver.nu, dims,
                         self.ti.nolds, terms=terms,
                         xdiv=(d64["sx"], d64["ix"]),
-                        olds_dtype=self._olds_dtype)
+                        olds_dtype=self._olds_dtype,
+                        acc_dtype=self._acc_dtype)
                 except ValueError:
                     pass
             self._ab_is_xdiv = self._fused_ab is not None
@@ -157,7 +169,8 @@ class BaseCase:
                 self._fused_ab = make_fused_transeq_ab_v3(
                     self.solver.ops, self.solver.nu, dims,
                     self.ti.nolds, terms=terms,
-                    olds_dtype=self._olds_dtype)
+                    olds_dtype=self._olds_dtype,
+                    acc_dtype=self._acc_dtype)
         # d2-in-C carry (round 4, experimental — X3D2_D2C=1 opts in):
         # the projection's kernel C also evaluates the NEXT step's
         # z-direction sweep on the just-corrected, VMEM-resident
@@ -168,6 +181,7 @@ class BaseCase:
         self._pipe_d2c = None
         if (_os.environ.get("X3D2_D2C", "0") == "1"
                 and self._fused_ab is not None
+                and self._acc_dtype is None
                 and not getattr(self, "_ab_is_xdiv", False)
                 and not params.n_species and not params.compensated
                 and type(self).define_bc is BaseCase.define_bc

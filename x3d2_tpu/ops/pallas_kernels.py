@@ -449,8 +449,18 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                         free=None, accumulate=False, interpret=False,
                         terms=2, ab_olds=0, n_shards=1, ab_alias=True,
                         xdiv_mats=None, upd=None, base_sep=False,
-                        olds_dtype=None):
+                        olds_dtype=None, acc_dtype=None, acc_out=True):
     """One direction sweep: fn(u, v, w[, acc3]) -> (du, dv, dw).
+
+    acc_dtype (X3D2_BF16_ACC): dtype of the cross-direction rhs
+    partial streams. Like the AB history, the partials only enter the
+    state update scaled by dt*c_j, so storing them bf16 halves the
+    12-pass accumulator traffic (d2 writes 3, d0 reads+writes 3+3, the
+    final sweep reads 3) for a ~4e-3 relative rounding on an O(dt)
+    term. Intermediate (non-upd) sweeps store their outputs at
+    acc_dtype; the upd sweep only READS acc at that dtype (its state/
+    rhs output dtypes are set by the state and olds_dtype), which
+    changes the legal input_output_aliases pairings — see below.
 
     Axes 0/1: 3-stream roll-free windows (default bs=64, w=16).
     Axis 2: rolled 2-stream windows (default bs=128, w=64).
@@ -558,21 +568,36 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
         # the OLDEST history buffers (dropped by the rotation) onto the
         # updated velocities — the fused step then adds no peak HBM over
         # its inputs (blocks share the output index map, so in-place is
-        # race-free like any elementwise aliasing). With a reduced
-        # olds_dtype the pairing flips to keep dtypes matched:
-        # acc(f32)->u'(f32), oldest-old(bf16)->rhs(bf16).
-        reduced = olds_dtype is not None
-        if reduced:
-            aliases = {0: 0, 1: 1, 2: 2}
+        # race-free like any elementwise aliasing). Alias pairs must
+        # dtype-match, so the pairing depends on which streams are
+        # reduced: acc dtype (acc_dtype or state) pairs with whichever
+        # of u'(state dtype) / rhs(olds_dtype or state) it equals, and
+        # the oldest old takes the other when its dtype fits; with acc
+        # AND olds both bf16 the f32 u' has no matching operand left.
+        acc_red = acc_dtype is not None
+        olds_red = olds_dtype is not None
+        if acc_red == olds_red:
+            aliases = {0: 3, 1: 4, 2: 5}       # acc -> rhs (dtypes equal)
+        elif olds_red:
+            aliases = {0: 0, 1: 1, 2: 2}       # acc(f32) -> u'(f32)
         else:
-            aliases = {0: 3, 1: 4, 2: 5}
+            aliases = {}                       # acc bf16, rhs f32: none
         if ab_alias and ab_olds:
             first_old = 3 + 3 * nstream
+            oldest = first_old + 3 * (ab_olds - 1)
             for c in range(3):
-                aliases[first_old + 3 * (ab_olds - 1) + c] = \
-                    (3 + c) if reduced else c
+                if olds_red and not acc_red:
+                    aliases[oldest + c] = 3 + c   # old(bf16)->rhs(bf16)
+                elif not olds_red:
+                    aliases[oldest + c] = c       # old(f32)->u'(f32)
+                # acc_red and olds_red: rhs already taken by acc; u' is
+                # f32 with no f32 same-map operand -> oldest unaliased
     elif accumulate:
-        aliases = {c: c for c in range(3)}
+        # in-place accumulation needs matching in/out dtypes; a final
+        # sweep that reads reduced partials but emits state-precision
+        # rhs (acc_out=False) cannot alias
+        aliases = ({c: c for c in range(3)}
+                   if (acc_dtype is None or acc_out) else {})
     else:
         aliases = {}
 
@@ -607,6 +632,9 @@ def make_transeq_dir_v3(ops_axis, nu, axis, shape, w=None, bs=None,
                     "future_coeff_sum error-feedback)")
             args += [row]
         out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * n_out
+        if not upd and acc_dtype is not None and acc_out:
+            # intermediate sweep: the outputs ARE the partial streams
+            out_shape = [jax.ShapeDtypeStruct(shape, acc_dtype)] * n_out
         if upd and olds_dtype is not None:
             # the rhs outputs ARE the next step's olds[0]: store them at
             # the history precision so the 3 writes (and next step's 3
@@ -706,11 +734,12 @@ def _pencil_kernel(*refs, axis, nu, w, bs, nb, terms, accumulate):
 
 def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
                       bs=None, interpret=False, terms=2,
-                      accumulate=False):
+                      accumulate=False, acc_dtype=None):
     """Single-read direction sweep: fn(u, v, w[, acc]) -> (du, dv, dw).
     The sweep axis stays fully VMEM-resident per grid step (enabled by
     the raised VMEM_LIMIT); drop-in replacement for the windowed-stream
-    sweeps with ~1.5-2.5x less HBM read traffic."""
+    sweeps with ~1.5-2.5x less HBM read traffic. acc_dtype sets the
+    partial-stream output dtype (see make_transeq_dir_v3)."""
     lane = axis == 2
     if bs is None:
         bs = 128 if lane else 64
@@ -762,7 +791,7 @@ def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
     def fn(u, v, w_, acc=None):
         args = list(acc) if accumulate else []
         args += [u, v, w_] + mats
-        out_shape = [jax.ShapeDtypeStruct(shape, u.dtype)] * 3
+        out_shape = [jax.ShapeDtypeStruct(shape, acc_dtype or u.dtype)] * 3
         outs = pl.pallas_call(
             kern, grid=grid,
             in_specs=([pencil] * 3 if accumulate else [])
@@ -780,18 +809,23 @@ def make_pencil_sweep(ops_axis, nu, axis, shape, free=None, w=None,
 
 
 def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
-                          terms=2):
+                          terms=2, acc_dtype=None):
     """Full transeq: three accumulated direction sweeps.
     fn(u, v, w) -> (du, dv, dw) summed over directions.
     terms=2 -> bf16x3 (Precision.HIGH); terms=3 -> bf16x6 (HIGHEST, the
-    KE-parity mode, ~2x the matmul cost)."""
+    KE-parity mode, ~2x the matmul cost). acc_dtype reduces the two
+    INTERMEDIATE partial streams (d2->d0, d0->d1); the final d1 output
+    stays at state precision for downstream consumers."""
     cfgs = cfgs or {}
     d2 = _make_sweep(solver_ops[2], nu, 2, shape, terms, interpret,
-                     cfgs.get(2, {}))
+                     cfgs.get(2, {}), acc_dtype=acc_dtype)
     d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
-                     cfgs.get(0, {}), accumulate=True)
-    d1 = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
-                     cfgs.get(1, {}), accumulate=True)
+                     cfgs.get(0, {}), accumulate=True,
+                     acc_dtype=acc_dtype)
+    d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
+                             accumulate=True, interpret=interpret,
+                             acc_dtype=acc_dtype, acc_out=False,
+                             **cfgs.get(1, {}))
 
     def fn(u, v, w):
         acc = d2(u, v, w)
@@ -803,7 +837,7 @@ def make_fused_transeq_v3(solver_ops, nu, shape, cfgs=None, interpret=False,
 
 
 def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
-                accumulate=False, ab_olds=0):
+                accumulate=False, ab_olds=0, acc_dtype=None):
     """One direction sweep: the single-read pencil kernel on the lane
     axis (16.1 vs 18.0 ms at 512^3 — it also replaces the roll
     pre-pass), else the windowed-stream variant. Non-lane pencils were
@@ -815,17 +849,20 @@ def _make_sweep(ops_axis, nu, axis, shape, terms, interpret, cfg,
         try:
             return make_pencil_sweep(ops_axis, nu, axis, shape,
                                      interpret=interpret, terms=terms,
-                                     accumulate=accumulate)
+                                     accumulate=accumulate,
+                                     acc_dtype=acc_dtype)
         except ValueError:
             pass
     return make_transeq_dir_v3(ops_axis, nu, axis, shape, terms=terms,
                                accumulate=accumulate, ab_olds=ab_olds,
-                               interpret=interpret, **cfg)
+                               interpret=interpret, acc_dtype=acc_dtype,
+                               **cfg)
 
 
 def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
                              interpret=False, terms=2, xdiv=None,
-                             skip_d2=False, olds_dtype=None):
+                             skip_d2=False, olds_dtype=None,
+                             acc_dtype=None):
     """Transeq + Adams-Bashforth update in one fused chain:
     fn(u, v, w, olds, dtc) -> ((u', v', w'), (rhs_u, rhs_v, rhs_w)).
 
@@ -852,9 +889,15 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
     full-field re-reads) vanish. Raises ValueError when the shapes or
     the parity symmetry do not allow it."""
     cfgs = cfgs or {}
+    if skip_d2 and acc_dtype is not None:
+        # the d2-in-C carry's acc0 comes from the projection's kernel C
+        # at state precision; reduced partials would need that kernel
+        # to emit bf16 too — not wired (both paths are opt-in)
+        raise ValueError("skip_d2 and acc_dtype are exclusive")
     d2 = None if skip_d2 else _make_sweep(solver_ops[2], nu, 2, shape,
                                           terms, interpret,
-                                          cfgs.get(2, {}))
+                                          cfgs.get(2, {}),
+                                          acc_dtype=acc_dtype)
     if xdiv is not None:
         if skip_d2:
             raise ValueError("skip_d2 and xdiv are exclusive chains")
@@ -862,9 +905,11 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
                                   terms=terms, accumulate=True,
                                   ab_olds=nolds, interpret=interpret,
                                   xdiv_mats=xdiv, olds_dtype=olds_dtype,
+                                  acc_dtype=acc_dtype,
                                   **cfgs.get(0, {}))
         d1p = _make_sweep(solver_ops[1], nu, 1, shape, terms, interpret,
-                          cfgs.get(1, {}), accumulate=True)
+                          cfgs.get(1, {}), accumulate=True,
+                          acc_dtype=acc_dtype)
 
         def fnx(u, v, w, olds, dtc):
             acc = d2(u, v, w)
@@ -873,10 +918,12 @@ def make_fused_transeq_ab_v3(solver_ops, nu, shape, nolds, cfgs=None,
 
         return fnx
     d0 = _make_sweep(solver_ops[0], nu, 0, shape, terms, interpret,
-                     cfgs.get(0, {}), accumulate=True)
+                     cfgs.get(0, {}), accumulate=True,
+                     acc_dtype=acc_dtype)
     d1 = make_transeq_dir_v3(solver_ops[1], nu, 1, shape, terms=terms,
                              accumulate=True, ab_olds=nolds,
                              interpret=interpret, olds_dtype=olds_dtype,
+                             acc_dtype=acc_dtype,
                              **cfgs.get(1, {}))
 
     if skip_d2:
