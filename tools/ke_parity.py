@@ -161,6 +161,8 @@ elif mode == "tpu":
     tag = f"f32_{prec}" + ("_kahan" if comp else "")
     if os.environ.get("X3D2_BF16_OLDS", "0") == "1":
         tag += "_bf16olds"
+    if os.environ.get("X3D2_BF16_ACC", "0") == "1":
+        tag += "_bf16acc"
     print(f"f32 TPU [{tag}]: TGV {n}^3 Re=1600 AB3 dt={dt} to t={t_end}",
           flush=True)
     steps, kes = run_curve(jnp.float32, comp)
