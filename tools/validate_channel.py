@@ -109,6 +109,14 @@ warmup = n_iters // 2
 ub_series = []
 for it in range(1, n_iters + 1):
     state = case._step(state)
+    if it == 1:
+        # health signal for queue stall detectors: the remote compile
+        # is over (192x129x96 measured 138s on the LOCAL libtpu; the
+        # relay compile can exceed 400s and is silent throughout)
+        import jax as _j
+        _j.block_until_ready(state["u"])
+        print(f"first step done [{time.perf_counter() - t0:.0f}s]",
+              flush=True)
     if it % sample == 0:
         p = np.asarray(profiles(state), np.float64)
         ub_series.append((it * dt, p[7, 0]))
