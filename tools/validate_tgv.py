@@ -9,7 +9,11 @@ validation/tgv{N}_re1600.csv with columns t, ke, enstrophy,
 eps_enstrophy (= 2 nu E, the viscous dissipation) and prints the
 dissipation peak. Usage:
 
-    python tools/validate_tgv.py [N] [t_end] [sample]
+    python tools/validate_tgv.py [N] [t_end] [sample] [--tag SUFFIX]
+
+--tag suffixes the output CSV (e.g. `--tag _bf16olds` with
+X3D2_BF16_OLDS=1 validates the speed mode's physics without
+overwriting the production artifact).
 """
 
 import os
@@ -22,9 +26,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 14.0
-sample = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+argv = list(sys.argv[1:])
+tag = ""
+if "--tag" in argv:
+    i = argv.index("--tag")
+    tag = argv[i + 1]
+    del argv[i:i + 2]
+n = int(argv[0]) if len(argv) > 0 else 256
+t_end = float(argv[1]) if len(argv) > 1 else 14.0
+sample = int(argv[2]) if len(argv) > 2 else 25
 
 from x3d2_tpu.common import BC
 from x3d2_tpu.mesh import Mesh
@@ -57,7 +67,7 @@ rows = np.asarray(rows)
 t, ke, ens = rows[:, 0], rows[:, 1], rows[:, 2]
 eps = 2.0 / Re * ens
 os.makedirs("validation", exist_ok=True)
-out = f"validation/tgv{n}_re1600.csv"
+out = f"validation/tgv{n}_re1600{tag}.csv"
 with open(out, "w") as fh:
     fh.write("t,ke,enstrophy,eps_enstrophy\n")
     for r, e in zip(rows, eps):
