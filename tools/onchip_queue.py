@@ -66,6 +66,22 @@ JOBS = [
                       "80000", "10", "--grid", "192", "129", "96",
                       "--dt", "2.5e-3", "--tag", "_192x129x96"],
      3600, {}, 420),
+    # round-5 channel verdict experiment: the refinement runs show
+    # Re_tau ~201-203 CONVERGED in the reference's 4x2x2 box, so the
+    # gap vs KMM's 178 is the (near-minimal) box, not numerics. Run
+    # the KMM-sized box (4pi x 2 x 4pi/3) at KMM-grade resolution
+    # (dx+ ~12, dz+ ~6, same 129-pt stretched y) to close the loop.
+    ("channel_kmmbox", [sys.executable, "tools/validate_channel.py",
+                        "100000", "10", "--grid", "192", "129", "128",
+                        "--dt", "2.5e-3", "--box", "12.566370614",
+                        "4.188790205", "--tag", "_kmmbox_192x129x128"],
+     3600, {}, 420),
+    # speed-mode physics artifact: the full 512^3 TGV t=0..14 arc in
+    # the bf16-olds mode (wall-clock row + dissipation peak for the
+    # README accuracy table)
+    ("tgv512_bf16olds", [sys.executable, "tools/validate_tgv.py",
+                         "512", "14.0", "25", "--tag", "_bf16olds"],
+     2400, {"X3D2_BF16_OLDS": "1"}, 420),
 ]
 
 TEARDOWN_S = 90  # min gap between any client exit and the next dial
