@@ -69,12 +69,17 @@ JOBS = [
     # round-5 channel verdict experiment: the refinement runs show
     # Re_tau ~201-203 CONVERGED in the reference's 4x2x2 box, so the
     # gap vs KMM's 178 is the (near-minimal) box, not numerics. Run
-    # the KMM-sized box (4pi x 2 x 4pi/3) at KMM-grade resolution
-    # (dx+ ~12, dz+ ~6, same 129-pt stretched y) to close the loop.
+    # the KMM-sized box (4pi x 2 x 4pi/3) at KMM-grade x/z resolution
+    # (dx+ ~12, dz+ ~8) with the reference's 65-pt stretched y (the
+    # y-refinement run proved 65 -> 129 moves Re_tau only +0.6%).
+    # NOTE grid choice is einsum-path-cost-bound: the Dirichlet+
+    # stretched channel runs dense resolved applies (O(n) flops/DOF
+    # per axis), and the 192x129x96 refinement run measured
+    # ~115 ms/step — 129-pt y plus KMM box does not fit a queue slot.
     ("channel_kmmbox", [sys.executable, "tools/validate_channel.py",
-                        "100000", "10", "--grid", "192", "129", "128",
-                        "--dt", "2.5e-3", "--box", "12.566370614",
-                        "4.188790205", "--tag", "_kmmbox_192x129x128"],
+                        "80000", "10", "--grid", "192", "65", "96",
+                        "--dt", "5e-3", "--box", "12.566370614",
+                        "4.188790205", "--tag", "_kmmbox_192x65x96"],
      3600, {}, 420),
     # speed-mode physics artifact: the full 512^3 TGV t=0..14 arc in
     # the bf16-olds mode (wall-clock row + dissipation peak for the
