@@ -80,7 +80,7 @@ JOBS = [
                         "80000", "10", "--grid", "192", "65", "96",
                         "--dt", "5e-3", "--box", "12.566370614",
                         "4.188790205", "--tag", "_kmmbox_192x65x96"],
-     3600, {}, 420),
+     3600, {"X3D2_CHANNEL_BUDGET_S": "2700"}, 420),
     # speed-mode physics artifact: the full 512^3 TGV t=0..14 arc in
     # the bf16-olds mode (wall-clock row + dissipation peak for the
     # README accuracy table)

@@ -122,8 +122,28 @@ nacc = 0
 t0 = time.perf_counter()
 warmup = n_iters // 2
 ub_series = []
-for it in range(1, n_iters + 1):
+# optional wall budget (seconds): after the first 2000 steps the
+# marginal step rate is known; shrink n_iters (and the warmup split)
+# so the run finishes inside the budget with SOME averaged stats
+# rather than timing out with none (the 192x129x96 dense-apply run
+# measured ~115 ms/step and would have produced zero stats in its
+# queue slot)
+budget_s = float(os.environ.get("X3D2_CHANNEL_BUDGET_S", "0"))
+t_first = None
+it = 0
+while it < n_iters:
+    it += 1
     state = case._step(state)
+    if budget_s and it == 2000 and t_first is not None:
+        rate = (time.perf_counter() - t_first) / (it - 1)
+        feasible = it + int(max(0.0, budget_s
+                                - (time.perf_counter() - t0)) / rate)
+        if feasible < n_iters:
+            n_iters = max(4000, feasible)
+            warmup = n_iters // 2
+            print(f"budget {budget_s:.0f}s at {rate * 1e3:.1f} ms/step:"
+                  f" rescaled to n_iters={n_iters} (t_end="
+                  f"{n_iters * dt:.0f})", flush=True)
     if it == 1:
         # health signal for queue stall detectors: the remote compile
         # is over (192x129x96 measured 138s on the LOCAL libtpu; the
@@ -132,6 +152,7 @@ for it in range(1, n_iters + 1):
         _j.block_until_ready(state["u"])
         print(f"first step done [{time.perf_counter() - t0:.0f}s]",
               flush=True)
+        t_first = time.perf_counter()
     if it % sample == 0:
         p = np.asarray(profiles(state), np.float64)
         ub_series.append((it * dt, p[7, 0]))
