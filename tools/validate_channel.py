@@ -130,11 +130,23 @@ ub_series = []
 # queue slot)
 budget_s = float(os.environ.get("X3D2_CHANNEL_BUDGET_S", "0"))
 t_first = None
+budget_checked = False
 it = 0
 while it < n_iters:
-    it += 1
-    state = case._step(state)
-    if budget_s and it == 2000 and t_first is not None:
+    # chunked dispatch between sample boundaries (case._chunk, k
+    # static): each per-step dispatch costs ~1 ms through the relay
+    # and balloons when the relay is degraded — 80000 individual
+    # dispatches make the run hostage to relay latency
+    if it == 0:
+        k = 1
+    else:
+        k = min((sample - it % sample) if it % sample else sample,
+                n_iters - it)
+    state = case._chunk(state, k) if k > 1 else case._step(state)
+    it += k
+    if budget_s and not budget_checked and it >= 2000 \
+            and t_first is not None:
+        budget_checked = True
         rate = (time.perf_counter() - t_first) / (it - 1)
         feasible = it + int(max(0.0, budget_s
                                 - (time.perf_counter() - t0)) / rate)
